@@ -1,0 +1,179 @@
+"""Client-side TFHE key material: generation, encryption, decryption.
+
+Host-side numpy (uint64) — key generation and the client encrypt/decrypt
+boundary are not throughput-critical; the server-side hot path lives in
+``fhe.pbs``.  Replaces the role of Concrete's ``fhe_circuit.keygen()`` /
+encrypt/decrypt (reference homomorphic_eval.py:314-316 and the hidden
+client half of ``q_module.forward``).
+
+Conventions (CGGI/TFHE standard):
+  * q = 2^64; binary secret keys.
+  * LWE ciphertext = (a_0..a_{n-1}, b) with b = <a, s> + m + e  (all mod q).
+  * GLWE ciphertext = (A_0..A_{k-1}, B) polynomials in Z_q[X]/(X^N + 1),
+    B = sum_j A_j * S_j + M + E.
+  * GGSW(m) rows: for j in 0..k, level in 1..l:
+      GLWE(0) + m * q/B^level placed on component j (negated for j < k).
+  * Bootstrapping key: GGSW encryptions of each small-LWE key bit under the
+    GLWE key.  Keyswitch key: LWE encryptions of each big-LWE key bit times
+    the gadget, under the small key.
+"""
+from dataclasses import dataclass
+
+import numpy as np
+
+from .params import TFHEParams
+
+U64 = np.uint64
+
+
+def _negacyclic_polymul_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact negacyclic product of two uint64 coefficient vectors (mod 2^64).
+
+    O(N^2) host reference used only in keygen/tests.
+    """
+    N = a.shape[-1]
+    res = np.zeros(N, U64)
+    with np.errstate(over="ignore"):
+        for t in range(N):
+            at = a[t]
+            if at == 0:
+                continue
+            prod = at * b  # wraps mod 2^64
+            res[t:] += prod[: N - t]
+            if t:
+                res[: t] -= prod[N - t:]  # X^N = -1 wrap-around
+    return res
+
+
+def _poly_mul_accum(acc: np.ndarray, a: np.ndarray, b: np.ndarray):
+    with np.errstate(over="ignore"):
+        acc += _negacyclic_polymul_u64(a, b)
+
+
+@dataclass
+class ClientKeys:
+    params: TFHEParams
+    lwe_key: np.ndarray        # (n,) uint64 in {0,1} — small key
+    glwe_key: np.ndarray       # (k, N) uint64 in {0,1}
+
+    @property
+    def big_lwe_key(self) -> np.ndarray:
+        """Key of LWE samples extracted from GLWE accumulators: the GLWE key
+        coefficients flattened in (j, coeff) order."""
+        return self.glwe_key.reshape(-1)
+
+
+@dataclass
+class ServerKeyMaterial:
+    """Raw uint64 server keys (pre device preprocessing).
+
+    bsk: (n, (k+1)*l, k+1, N)  GGSW rows per small-key bit
+    ksk: (kN, l_ks, n+1)       keyswitch LWEs, last column is the body
+    """
+    params: TFHEParams
+    bsk: np.ndarray
+    ksk: np.ndarray
+
+
+def keygen(params: TFHEParams, seed: int = 0) -> ClientKeys:
+    rng = np.random.default_rng(seed)
+    lwe_key = rng.integers(0, 2, params.lwe_dim).astype(U64)
+    glwe_key = rng.integers(0, 2, (params.glwe_dim, params.poly_size)).astype(U64)
+    return ClientKeys(params, lwe_key, glwe_key)
+
+
+def _gaussian_u64(rng, sigma_log2: float, shape) -> np.ndarray:
+    std = 2.0 ** sigma_log2
+    e = rng.normal(0.0, std, shape)
+    return np.round(e).astype(np.int64).astype(U64)
+
+
+def encrypt_lwe(ck: ClientKeys, mu: np.ndarray, rng,
+                key: np.ndarray | None = None,
+                noise_log2: float | None = None) -> np.ndarray:
+    """Encrypt torus values mu (uint64, any shape) -> (*shape, n+1) uint64."""
+    key = ck.lwe_key if key is None else key
+    n = key.shape[0]
+    mu = np.asarray(mu, U64)
+    a = rng.integers(0, 1 << 63, (*mu.shape, n), dtype=np.int64).astype(U64)
+    a = (a << U64(1)) | rng.integers(0, 2, (*mu.shape, n)).astype(U64)
+    e = _gaussian_u64(
+        rng, ck.params.lwe_noise_log2 if noise_log2 is None else noise_log2,
+        mu.shape)
+    with np.errstate(over="ignore"):
+        b = (a * key).sum(axis=-1, dtype=U64) + mu + e
+    return np.concatenate([a, b[..., None]], axis=-1)
+
+
+def decrypt_lwe(ck: ClientKeys, ct: np.ndarray,
+                key: np.ndarray | None = None) -> np.ndarray:
+    """Raw phase b - <a, s> (uint64); caller decodes/rounds."""
+    key = ck.lwe_key if key is None else key
+    with np.errstate(over="ignore"):
+        return ct[..., -1] - (ct[..., :-1] * key).sum(axis=-1, dtype=U64)
+
+
+def encrypt_glwe_zero(ck: ClientKeys, rng) -> np.ndarray:
+    """Fresh GLWE(0): returns (k+1, N) uint64 (mask rows then body)."""
+    p = ck.params
+    k, N = p.glwe_dim, p.poly_size
+    a = rng.integers(0, 1 << 63, (k, N), dtype=np.int64).astype(U64)
+    a = (a << U64(1)) | rng.integers(0, 2, (k, N)).astype(U64)
+    body = _gaussian_u64(rng, p.glwe_noise_log2, N)
+    for j in range(k):
+        _poly_mul_accum(body, a[j], ck.glwe_key[j])
+    return np.concatenate([a, body[None]], axis=0)
+
+
+def encrypt_ggsw_bit(ck: ClientKeys, bit: int, rng) -> np.ndarray:
+    """GGSW encryption of a bit: ((k+1)*l, k+1, N) uint64.
+
+    Row (j, level) = GLWE(0) + bit * q/B^(level+1) on component j, with the
+    mask components carrying -s_j * m * gadget implicitly via the added
+    constant on A_j (standard construction: add m*g to the j-th column).
+    """
+    p = ck.params
+    k, N, l, blog = p.glwe_dim, p.poly_size, p.pbs_levels, p.pbs_base_log
+    rows = []
+    with np.errstate(over="ignore"):
+        for j in range(k + 1):
+            for level in range(1, l + 1):
+                row = encrypt_glwe_zero(ck, rng)
+                gadget = U64(1) << U64(64 - blog * level)
+                row[j, 0] += U64(bit) * gadget
+                rows.append(row)
+    return np.stack(rows, axis=0)
+
+
+def make_bootstrap_key(ck: ClientKeys, rng) -> np.ndarray:
+    """(n, (k+1)*l, k+1, N) uint64 — GGSW of each small-key bit."""
+    return np.stack(
+        [encrypt_ggsw_bit(ck, int(b), rng) for b in ck.lwe_key], axis=0)
+
+
+def make_keyswitch_key(ck: ClientKeys, rng) -> np.ndarray:
+    """(kN, l_ks, n+1) uint64: LWE_small(big_key_i * q/B^(level+1))."""
+    p = ck.params
+    big = ck.big_lwe_key
+    l, blog = p.ks_levels, p.ks_base_log
+    with np.errstate(over="ignore"):
+        gadgets = np.array([U64(1) << U64(64 - blog * (lev + 1))
+                            for lev in range(l)], U64)
+        mus = big[:, None] * gadgets[None, :]          # (kN, l)
+    return encrypt_lwe(ck, mus, rng)
+
+
+def make_server_keys(ck: ClientKeys, seed: int = 1) -> ServerKeyMaterial:
+    rng = np.random.default_rng(seed)
+    bsk = make_bootstrap_key(ck, rng)
+    ksk = make_keyswitch_key(ck, rng)
+    return ServerKeyMaterial(ck.params, bsk, ksk)
+
+
+def decrypt_glwe(ck: ClientKeys, ct: np.ndarray) -> np.ndarray:
+    """Phase polynomial of a GLWE ciphertext (k+1, N) -> (N,)."""
+    body = ct[-1].copy()
+    with np.errstate(over="ignore"):
+        for j in range(ck.params.glwe_dim):
+            body -= _negacyclic_polymul_u64(ct[j], ck.glwe_key[j])
+    return body

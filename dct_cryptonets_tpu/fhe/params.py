@@ -1,0 +1,175 @@
+"""TFHE parameter sets and noise model.
+
+Re-owns Concrete's parameter-selection role (the reference passes only
+``p_error`` / ``n_bits`` / ``rounding_threshold_bits`` and lets the Concrete
+optimizer pick lattice parameters; reference homomorphic_eval.py:276-295).
+
+Design choices for TPU:
+
+* **q = 2^64 torus**, represented as (hi, lo) int32 limb pairs (TPU has no
+  fast native 64-bit integer path; see ``fhe.torus``).  A 32-bit torus does
+  not leave enough noise headroom for 16-bit accumulators once PBS output
+  noise is amplified by conv-weight dot products.
+* Default lattice parameters follow the shape of public TFHE-rs /
+  Concrete parameter sets for 128-bit security at q=2^64
+  (LWE n≈700-900 with sigma/q ~ 2^-17..2^-19, GLWE k=1 N=2048 with
+  sigma/q ~ 2^-52).  Security should be re-validated with the
+  lattice-estimator before production use; the sets here are chosen for
+  architecture/performance work and mirror published parameter shapes.
+
+The NoiseModel implements the standard CGGI noise-propagation formulas so
+tests can assert that a parameter set meets a target per-PBS error
+probability for a given TLU precision.
+"""
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TFHEParams:
+    """One TFHE parameter set (q = 2^64 fixed)."""
+    lwe_dim: int            # n  — small-LWE dimension (keyswitch output)
+    glwe_dim: int           # k  — number of GLWE mask polynomials
+    poly_size: int          # N  — polynomial degree
+    pbs_base_log: int       # log2(B) gadget base for the bootstrapping key
+    pbs_levels: int         # l  gadget levels for the bootstrapping key
+    ks_base_log: int        # keyswitch decomposition base log
+    ks_levels: int          # keyswitch decomposition levels
+    lwe_noise_log2: float   # log2(sigma) of fresh small-LWE noise (absolute, q units)
+    glwe_noise_log2: float  # log2(sigma) of fresh GLWE noise (absolute, q units)
+    message_bits: int       # TLU precision this set is sized for (incl. sign)
+
+    q_bits: int = 64
+
+    @property
+    def big_lwe_dim(self) -> int:
+        """Dimension of the LWE sample extracted from the GLWE accumulator."""
+        return self.glwe_dim * self.poly_size
+
+    @property
+    def delta_log2(self) -> int:
+        """log2 of the encoding step for `message_bits` messages + 1 padding bit."""
+        return self.q_bits - (self.message_bits + 1)
+
+
+class NoiseModel:
+    """CGGI noise-propagation estimates (variances in q^2 units, log2 domain).
+
+    Formulas follow the TFHE/CGGI literature (blind-rotate external-product
+    variance, keyswitch variance, modulus-switch variance); all in absolute
+    torus units with q = 2^64.
+    """
+
+    def __init__(self, p: TFHEParams):
+        self.p = p
+
+    # -- component variances (plain float, may be large; use log2-safe math)
+
+    def var_fresh_lwe(self) -> float:
+        return 2.0 ** (2 * self.p.lwe_noise_log2)
+
+    def var_fresh_glwe(self) -> float:
+        return 2.0 ** (2 * self.p.glwe_noise_log2)
+
+    def var_blind_rotate(self) -> float:
+        """Variance added by the blind rotate (n external products)."""
+        p = self.p
+        n, k, N = p.lwe_dim, p.glwe_dim, p.poly_size
+        B = 2.0 ** p.pbs_base_log
+        l = p.pbs_levels
+        q = 2.0 ** p.q_bits
+        var_bsk = self.var_fresh_glwe()
+        # decomposition term
+        t1 = n * l * (k + 1) * N * (B * B + 2.0) / 12.0 * var_bsk
+        # rounding remainder of the approximate gadget decomposition
+        rem = q / (B ** l)
+        t2 = n * (1.0 + k * N) / 2.0 * (rem * rem) / 12.0
+        return t1 + t2
+
+    def var_keyswitch(self) -> float:
+        p = self.p
+        big_n = p.big_lwe_dim
+        B = 2.0 ** p.ks_base_log
+        l = p.ks_levels
+        q = 2.0 ** p.q_bits
+        var_ksk = self.var_fresh_lwe()
+        t1 = big_n * l * var_ksk * (B * B + 2.0) / 12.0
+        rem = q / (B ** l)
+        t2 = big_n * (rem * rem) / 24.0
+        return t1 + t2
+
+    def var_mod_switch(self) -> float:
+        """Variance of the 2N modulus-switch rounding (in q^2 units)."""
+        p = self.p
+        step = 2.0 ** (p.q_bits - 1 - math.log2(p.poly_size))  # q / 2N
+        return (p.lwe_dim / 2.0 + 1.0) * (step * step) / 12.0
+
+    def var_pbs_output(self) -> float:
+        """Noise on a freshly bootstrapped ciphertext (post keyswitch order:
+        BR -> sample-extract -> KS)."""
+        return self.var_blind_rotate() + self.var_keyswitch()
+
+    # -- error probability
+
+    def pbs_error_probability(self, message_bits: int,
+                              input_variance: float | None = None) -> float:
+        """P(the PBS reads a wrong table window) for `message_bits` TLUs.
+
+        The decision margin is half the encoding window, q / 2^(bits+2);
+        noise at decision time = input noise + mod-switch noise.
+        """
+        p = self.p
+        margin = 2.0 ** (p.q_bits - (message_bits + 2))
+        var = self.var_mod_switch()
+        if input_variance is not None:
+            var += input_variance
+        sigma = math.sqrt(var)
+        z = margin / sigma
+        return math.erfc(z / math.sqrt(2.0))
+
+    def max_input_std_for(self, message_bits: int, p_error: float) -> float:
+        """Largest input-noise std tolerable for a target per-PBS p_error."""
+        import scipy.stats as st
+        margin = 2.0 ** (self.p.q_bits - (message_bits + 2))
+        z = st.norm.isf(p_error / 2.0)
+        total_var = (margin / z) ** 2
+        slack = total_var - self.var_mod_switch()
+        return math.sqrt(max(slack, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# presets
+
+# Shapes follow public TFHE-rs/Concrete 128-bit parameter sets for q = 2^64.
+_PRESETS = {
+    # message_bits (incl. sign of the rounded accumulator) -> params
+    4: TFHEParams(lwe_dim=742, glwe_dim=1, poly_size=1024,
+                  pbs_base_log=23, pbs_levels=1, ks_base_log=3, ks_levels=5,
+                  lwe_noise_log2=46.0, glwe_noise_log2=14.0, message_bits=4),
+    5: TFHEParams(lwe_dim=776, glwe_dim=1, poly_size=2048,
+                  pbs_base_log=23, pbs_levels=1, ks_base_log=3, ks_levels=5,
+                  lwe_noise_log2=45.5, glwe_noise_log2=12.0, message_bits=5),
+    6: TFHEParams(lwe_dim=840, glwe_dim=1, poly_size=2048,
+                  pbs_base_log=22, pbs_levels=1, ks_base_log=3, ks_levels=6,
+                  lwe_noise_log2=44.0, glwe_noise_log2=12.0, message_bits=6),
+    7: TFHEParams(lwe_dim=880, glwe_dim=1, poly_size=4096,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=3, ks_levels=6,
+                  lwe_noise_log2=43.5, glwe_noise_log2=12.0, message_bits=7),
+    8: TFHEParams(lwe_dim=920, glwe_dim=1, poly_size=8192,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=4, ks_levels=5,
+                  lwe_noise_log2=43.0, glwe_noise_log2=12.0, message_bits=8),
+}
+
+# Tiny insecure parameters for fast unit tests of the runtime mechanics.
+TEST_PARAMS = TFHEParams(lwe_dim=16, glwe_dim=1, poly_size=256,
+                         pbs_base_log=15, pbs_levels=2, ks_base_log=4,
+                         ks_levels=4, lwe_noise_log2=10.0, glwe_noise_log2=4.0,
+                         message_bits=4)
+
+
+def params_for_precision(message_bits: int) -> TFHEParams:
+    """Smallest preset that supports `message_bits` TLUs."""
+    for b in sorted(_PRESETS):
+        if b >= message_bits:
+            return _PRESETS[b]
+    raise ValueError(f"no parameter set for {message_bits}-bit TLUs (max 8)")
