@@ -310,7 +310,7 @@ def make_test_polys(tables: jax.Array, params: TFHEParams,
     vals = T.from_i32_shifted(expanded, out_delta_log2)
     # pre-rotate by +reps/2 (half window) to center windows on indices:
     # p <- X^{-(reps/2)} p  implemented as rotate by 2N - reps/2.
-    amount = jnp.full((M, 1), 2 * N - reps // 2, dtype=U32)
+    amount = jnp.full((M,), 2 * N - reps // 2, dtype=U32)
     return negacyclic_rotate(vals, amount)
 
 
