@@ -1,0 +1,124 @@
+"""Datasets and batching.
+
+The reference feeds torch DataLoaders whose workers run the DCT codec per
+sample (datamgr.py:229-279).  Here datasets are host-side uint8 image
+arrays; batches are assembled with numpy and the codec runs *on device* as
+part of the (jitted) train/eval step.
+
+Datasets:
+  * ``cifar10``    — python pickle batches (the reference's ``cifardataset/``
+                     layout, train.py:267-269); falls back with a clear error
+                     if the blobs are absent.
+  * ``synthetic``  — deterministic random images + labels, for smoke tests,
+                     benchmarks, and environments without datasets.
+  * ``json``       — SimpleDataset-style JSON manifest {image_names,
+                     image_labels} (reference data/dataset.py:11-34);
+                     images loaded with PIL.
+
+Split semantics copy the reference: sklearn ``train_test_split`` with
+``random_state=42`` for train/val (train.py:272) and seeded test subsets
+for the reliability sweep (homomorphic_eval.py:145-150, 395).
+"""
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+class ArrayDataset:
+    """images: (N, H, W, 3) uint8 RGB; labels: (N,) int."""
+
+    def __init__(self, images, labels, classes=None):
+        self.images = images
+        self.labels = labels
+        self.classes = classes or [str(i) for i in range(int(labels.max()) + 1)]
+
+    def __len__(self):
+        return len(self.images)
+
+
+def load_cifar10(root: str, train: bool = True) -> ArrayDataset:
+    d = os.path.join(root, "cifar-10-batches-py")
+    files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    xs, ys = [], []
+    for f in files:
+        path = os.path.join(d, f)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"CIFAR-10 batch {path} not found — pass --dataset synthetic "
+                "or provide the python-pickle batches")
+        with open(path, "rb") as fh:
+            batch = pickle.load(fh, encoding="bytes")
+        xs.append(batch[b"data"])
+        ys.append(batch[b"labels"])
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    y = np.concatenate([np.asarray(b) for b in ys])
+    classes = ["airplane", "automobile", "bird", "cat", "deer",
+               "dog", "frog", "horse", "ship", "truck"]
+    return ArrayDataset(np.ascontiguousarray(x), y.astype(np.int32), classes)
+
+
+def load_synthetic(num: int = 2048, image_size: int = 32,
+                   num_classes: int = 10, seed: int = 0) -> ArrayDataset:
+    """Deterministic class-structured random images: each class has a color
+    + frequency signature so models can actually fit them."""
+    from scipy.ndimage import zoom
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, num).astype(np.int32)
+    # smooth low-frequency class signatures (sharp tile edges would produce
+    # unnatural AC coefficients far outside the reference's normalization
+    # statistics, which are computed on natural images)
+    base = rng.integers(64, 192, (num_classes, 4, 4, 3)).astype(np.float64)
+    z = image_size / 4
+    templates = np.stack([zoom(b, (z, z, 1), order=1) for b in base])
+    x = np.empty((num, image_size, image_size, 3), np.uint8)
+    for i in range(num):
+        noise = zoom(rng.normal(0, 20, (8, 8, 3)), (image_size / 8,) * 2 + (1,),
+                     order=1)
+        x[i] = np.clip(templates[y[i]] + noise, 0, 255).astype(np.uint8)
+    return ArrayDataset(x, y)
+
+
+def load_json_manifest(path: str) -> ArrayDataset:
+    """SimpleDataset JSON manifest (reference data/dataset.py:11-34)."""
+    from PIL import Image
+    with open(path) as f:
+        meta = json.load(f)
+    names = meta["image_names"]
+    labels = np.asarray(meta["image_labels"], np.int32)
+    imgs = [np.asarray(Image.open(n).convert("RGB"), np.uint8) for n in names]
+    return ArrayDataset(np.stack(imgs), labels)
+
+
+def train_val_split(n: int, test_size, random_state: int = 42):
+    """sklearn train_test_split index semantics (reference train.py:272)."""
+    from sklearn.model_selection import train_test_split
+    return train_test_split(np.arange(n), test_size=test_size,
+                            random_state=random_state)
+
+
+def batches(ds: ArrayDataset, idx, batch_size: int, *, shuffle: bool,
+            seed: int = 0, drop_remainder: bool = True):
+    """Yield (images, labels) numpy batches over the given indices."""
+    idx = np.asarray(idx)
+    if shuffle:
+        idx = idx[np.random.default_rng(seed).permutation(len(idx))]
+    end = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
+    for s in range(0, end, batch_size):
+        take = idx[s:s + batch_size]
+        yield ds.images[take], ds.labels[take]
+
+
+def get_dataset(name: str, path: str | None, train: bool, *,
+                image_size: int = 32, num_classes: int = 10,
+                synthetic_size: int = 2048) -> ArrayDataset:
+    if name == "cifar10":
+        return load_cifar10(path or "./cifardataset", train)
+    if name == "synthetic":
+        return load_synthetic(synthetic_size if train else synthetic_size // 4,
+                              image_size, num_classes,
+                              seed=0 if train else 1)
+    if name.endswith(".json"):
+        return load_json_manifest(name)
+    raise ValueError(f"unknown dataset {name!r}")

@@ -1,0 +1,185 @@
+"""Levelled-op + TLU circuit IR and its bit-exact integer simulator.
+
+This is the framework's equivalent of the integer circuit Concrete-ML builds
+from a Brevitas QAT model (ONNX import + calibration + BN folding + rounded
+PBS insertion; invoked by the reference at homomorphic_eval.py:276-285) and
+of Concrete's ``fhe='simulate'`` mode (the reference's de-facto accuracy
+oracle, homomorphic_eval.py:333-347).
+
+A circuit is a straight-line program over named integer tensors:
+
+  * ``QuantIn``  — client-side float -> int input quantization
+  * ``Conv``     — integer convolution (levelled in FHE)
+  * ``PoolSum``  — window sum (levelled; the divide lives in the next TLU)
+  * ``AddScaled``— ca*a + cb*b scale-unification add (levelled)
+  * ``Tlu``      — per-channel table lookup on the rounded accumulator
+                   (one PBS per tensor element in FHE)
+  * ``Output``   — dequantize features for the clear classifier
+
+TLU semantics (the bit-exactness contract between simulator and runtime):
+
+  index  u = floor((acc + 2^(shift-1)) / 2^shift) + 2^(in_bits-1)
+  output y = table[channel, u]
+
+Encodings: every tensor t carries a bit budget ``n`` such that all integer
+values satisfy |v| < 2^(n-1); in FHE t is encoded on the torus with
+Delta_t = 2^(63 - n).  ``shift`` is always ``n_in - in_bits`` so the PBS's
+nearest-window rounding coincides with the simulator's arithmetic rounding
+(ties at exactly half a window are the only divergence, with probability
+~2^-shift per element, further randomized by ciphertext noise).
+"""
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TluSpec:
+    in_bits: int          # r_eff: table has 2^r_eff entries
+    shift: int            # accumulator LSBs dropped (n_in - in_bits)
+    out_n: int            # bit budget of the output tensor (sets Delta_out)
+
+    def __post_init__(self):
+        assert self.in_bits >= 1 and self.shift >= 0
+
+
+@dataclass
+class QuantIn:
+    scale: float          # x_int = clamp(round(x / scale), lo, hi)
+    bits: int             # signed symmetric n_bits quantization
+    n: int                # encoding budget of the produced tensor
+    out: str = "x0"
+
+
+@dataclass
+class Conv:
+    x: str
+    w: np.ndarray         # (kh, kw, Cin, Cout) int32
+    stride: int
+    padding: int
+    out: str
+
+
+@dataclass
+class PoolSum:
+    x: str
+    k: int
+    out: str
+
+
+@dataclass
+class AddScaled:
+    a: str
+    ca: int               # simulator multiplier for a
+    b: str
+    cb: int
+    ja: int               # FHE-side extra power-of-two (encoding align)
+    jb: int
+    out: str
+
+
+@dataclass
+class Tlu:
+    x: str
+    spec: TluSpec
+    table: np.ndarray     # (C, 2^in_bits) int32
+    out: str
+
+
+@dataclass
+class Output:
+    x: str
+    scale: float          # feats = y * scale
+
+
+@dataclass
+class Circuit:
+    ops: list
+    input_shape: tuple            # (H, W, C) of the float input
+    n_budget: dict = field(default_factory=dict)   # tensor name -> n bits
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def num_pbs(self) -> int:
+        """PBS invocations per single input sample (per-sample TLU sites)."""
+        shapes = self.meta["shapes"]
+        return sum(int(np.prod(shapes[op.x]))
+                   for op in self.ops if isinstance(op, Tlu))
+
+    def max_bit_width(self) -> int:
+        """Largest accumulator bit budget — the reference checks this <= 16
+        for FHE feasibility (homomorphic_eval.py:301-306)."""
+        return max(self.n_budget.values())
+
+
+# ---------------------------------------------------------------------------
+# simulator
+
+
+def _conv_int(x, w, stride, padding):
+    """Exact integer conv via f32 (operands small; products < 2^24)."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), jnp.asarray(w, jnp.float32),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.round(y).astype(jnp.int32)
+
+
+def _pool_sum(x, k):
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add,
+        (1, k, k, 1), (1, k, k, 1), "VALID")
+    return jnp.round(y).astype(jnp.int32)
+
+
+def tlu_index(acc: jax.Array, spec: TluSpec) -> jax.Array:
+    """The canonical rounded-index computation (shared with the runtime)."""
+    if spec.shift > 0:
+        acc = (acc + (1 << (spec.shift - 1))) >> spec.shift
+    u = acc + (1 << (spec.in_bits - 1))
+    return jnp.clip(u, 0, (1 << spec.in_bits) - 1)
+
+
+def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
+    """Run the integer circuit on a float input batch (B, H, W, C).
+
+    Returns the dequantized float features (B, F) — what the clear
+    classifier consumes.  Bit-exact oracle for the encrypted runtime.
+    """
+    env = {}
+    out = None
+    for op in circuit.ops:
+        if isinstance(op, QuantIn):
+            qmax = 2 ** (op.bits - 1) - 1
+            qmin = -(2 ** (op.bits - 1))
+            v = jnp.clip(jnp.round(x / op.scale), qmin, qmax)
+            env[op.out] = v.astype(jnp.int32)
+        elif isinstance(op, Conv):
+            env[op.out] = _conv_int(env[op.x], op.w, op.stride, op.padding)
+        elif isinstance(op, PoolSum):
+            env[op.out] = _pool_sum(env[op.x], op.k)
+        elif isinstance(op, AddScaled):
+            env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
+        elif isinstance(op, Tlu):
+            acc = env[op.x]
+            u = tlu_index(acc, op.spec)
+            table = jnp.asarray(op.table)            # (C, 2^r)
+            # gather per channel: out[..., c] = table[c, u[..., c]]
+            c_idx = jnp.arange(table.shape[0])
+            env[op.out] = table[c_idx[None, None, None, :], u]
+        elif isinstance(op, Output):
+            y = env[op.x]
+            out = y.reshape(y.shape[0], -1).astype(jnp.float32) * op.scale
+        else:
+            raise TypeError(f"unknown op {op!r}")
+    assert out is not None, "circuit has no Output op"
+    return out
+
+
+simulate_jit = partial(jax.jit, static_argnums=0)(simulate)

@@ -1,0 +1,311 @@
+"""Lower a trained QAT model to a levelled-op + TLU circuit.
+
+Framework equivalent of ``compile_brevitas_qat_model`` (reference
+homomorphic_eval.py:276-285): takes the trained params/state of a
+:class:`~dct_cryptonets_tpu.models.resnet.ModelSpec` model plus calibration
+info and emits a :class:`~.circuit.Circuit` whose integer semantics define
+both the simulator and the encrypted runtime.
+
+Key transformations (mirroring what Concrete-ML does to the reference nets):
+
+* **Input quantization** with ``n_bits`` and a calibrated symmetric scale.
+* **Weight quantization** with the Brevitas narrow-range per-tensor scheme
+  the QAT training simulated (ops/quant.py).
+* **BN folding**: BatchNorm becomes a per-channel affine absorbed into the
+  following TLU table.
+* **TLU fusion**: consecutive activation quantizers (stem QuantReLU followed
+  by QuantIdentity, reference backbone.py:248-262) fuse into one table that
+  applies both roundings — fewer PBS, identical integers.
+* **Rounded TLUs** (``rounding_threshold_bits`` r): accumulators are rounded
+  to at most r bits before lookup; ``shift = n - r`` where n is the input
+  tensor's assigned bit budget, so the PBS's nearest-window rounding equals
+  the simulator's arithmetic round-half-up.
+* **Residual adds** unify branch scales with small integer multipliers
+  (levelled, no PBS) plus power-of-two encoding alignment — Concrete's
+  QuantizedAdd strategy.
+* **Bit budgets**: lowering is two-phase.  The forward walk emits ops,
+  integer ranges, and worst-case accumulator bounds; the budget pass then
+  propagates each consumer's accumulator budget back to its producer tensor
+  (max over consumers) and only then are TLU shifts chosen and tables
+  materialized.  ``Circuit.max_bit_width()`` is what the reference's
+  "max bit-width <= 16" feasibility check inspects
+  (homomorphic_eval.py:301-306).
+"""
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from ..models.resnet import ModelSpec
+from ..ops.quant import act_qrange
+from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
+                      Tlu, TluSpec)
+
+ADD_MULT_BITS = 6   # residual-add scale-unification multiplier precision
+
+
+def _quantize_weight(w, bits):
+    """Brevitas narrow-range per-tensor weight quantization (ops/quant.py)."""
+    w = np.asarray(w, np.float64)
+    qmax = 2 ** (bits - 1) - 1
+    scale = max(np.abs(w).max(), 1e-8) / qmax
+    w_int = np.clip(np.round(w / scale), -qmax, qmax).astype(np.int32)
+    return w_int, float(scale)
+
+
+def _bn_affine(p, s, eps=1e-5):
+    """Per-channel (A, B): BN(v) = A*v + B using running stats."""
+    gamma = np.asarray(p["gamma"], np.float64)
+    beta = np.asarray(p["beta"], np.float64)
+    mean = np.asarray(s["mean"], np.float64)
+    var = np.asarray(s["var"], np.float64)
+    A = gamma / np.sqrt(var + eps)
+    return A, beta - A * mean
+
+
+def _bits_for(bound: int) -> int:
+    """Signed bit budget n with |v| <= bound <= 2^(n-1) - 1."""
+    return int(np.ceil(np.log2(bound + 2))) + 1
+
+
+@dataclass
+class _Tensor:
+    name: str
+    shape: tuple            # (H, W, C) per sample
+    lo: int
+    hi: int
+    scale: float            # float value = scale * int (per tensor)
+
+    @property
+    def absmax(self):
+        return max(abs(self.lo), abs(self.hi))
+
+
+@dataclass
+class _TluSite:
+    """Deferred TLU: tables materialize after budget assignment."""
+    acc_name: str
+    out_name: str
+    shape: tuple
+    acc_bound: int
+    cout: int
+    value_fn: Callable      # (channel col, acc row) -> float values
+    out_scale: float
+    out_lo: int
+    out_hi: int
+
+
+def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
+          rounding_threshold_bits: int = 6,
+          calib_absmax: float | None = None) -> Circuit:
+    """Compile trained (params, state) of a quantized model into a Circuit."""
+    assert spec.quantized, "lower() expects a QAT model"
+    st = spec.stem
+    if st.pool1_kernel is not None:
+        raise NotImplementedError(
+            "maxpool stems (RGB 224^2 topology) not yet lowered")
+    bw = spec.bit_width
+    r = rounding_threshold_bits
+
+    ops: list = []
+    shapes: dict = {}
+    sites: list[_TluSite] = []
+    n_budget: dict = {}
+    counter = [0]
+
+    def fresh(p):
+        counter[0] += 1
+        return f"{p}{counter[0]}"
+
+    def scale_of(node):
+        return float(np.maximum(np.asarray(node["scale"]), 1e-8))
+
+    def conv_bound(w_int, x: _Tensor) -> int:
+        w = w_int.astype(np.int64).reshape(-1, w_int.shape[-1])
+        hi = np.where(w > 0, w * x.hi, w * x.lo).sum(0)
+        lo = np.where(w > 0, w * x.lo, w * x.hi).sum(0)
+        return int(max(hi.max(), -lo.min(), 1))
+
+    def add_site(acc_name, shape, bound, cout, value_fn, s_out, lo, hi):
+        out = fresh("t")
+        sites.append(_TluSite(acc_name, out, shape, bound, cout, value_fn,
+                              s_out, lo, hi))
+        shapes[out] = shape
+        n_budget[acc_name] = _bits_for(bound)
+        return _Tensor(out, shape, lo, hi, s_out)
+
+    def conv_tlu(x: _Tensor, w, bn_p, bn_s, stride, padding, *,
+                 fused_relu_scale=None, out_scale, out_relu=False):
+        """Conv -> BN -> (fused relu-quant ->) final quant TLU."""
+        w_int, s_w = _quantize_weight(w, bw)
+        bound = conv_bound(w_int, x)
+        kh = w_int.shape[0]
+        oh = (x.shape[0] + 2 * padding - kh) // stride + 1
+        ow = (x.shape[1] + 2 * padding - kh) // stride + 1
+        cout = w_int.shape[-1]
+        acc = fresh("acc")
+        ops.append(Conv(x.name, w_int, stride, padding, acc))
+        shapes[acc] = (oh, ow, cout)
+
+        A, Bb = _bn_affine(bn_p, bn_s)
+        k = x.scale * s_w * A
+
+        if fused_relu_scale is not None:
+            lo_r, hi_r = act_qrange(bw, signed=False, relu=True)
+
+            def value_fn(c, a, k=k, Bb=Bb, s_r=fused_relu_scale):
+                v = k[c] * a + Bb[c]
+                return np.clip(np.round(v / s_r), lo_r, hi_r) * s_r
+        else:
+            def value_fn(c, a, k=k, Bb=Bb):
+                return k[c] * a + Bb[c]
+
+        lo_q, hi_q = act_qrange(bw, signed=True, relu=out_relu)
+        return add_site(acc, (oh, ow, cout), bound, cout, value_fn,
+                        out_scale, lo_q, hi_q)
+
+    # ---- input quantization
+    # The QAT model carries its own input quantizer (stem QuantIdentity,
+    # reference backbone.py:231, 245); its learned scale and bit width define
+    # the circuit input — matching how Concrete-ML imports Brevitas input
+    # quant nodes (`n_bits` would only apply to models without one).
+    sp, ss = params["stem"], state["stem"]
+    s_in = float(np.maximum(np.asarray(sp["quant_in"]["scale"]), 1e-8))
+    in_bits = bw
+    qmax_in = 2 ** (in_bits - 1) - 1
+    qmin_in = -(2 ** (in_bits - 1))
+    H = W = spec.img_size
+    x = _Tensor("x0", (H, W, spec.in_channels), qmin_in, qmax_in, s_in)
+    shapes["x0"] = x.shape
+    qin = QuantIn(s_in, in_bits, 0, "x0")
+    ops.append(qin)
+
+    # ---- stem: conv1 -> BN -> (QuantReLU fused) -> QuantIdentity
+    relu_s = scale_of(sp["relu1"]) if st.relu1 else None
+    h = conv_tlu(x, np.asarray(sp["conv"]["w"]), sp["bn"], ss["bn"],
+                 st.conv1_stride, st.conv1_padding,
+                 fused_relu_scale=relu_s,
+                 out_scale=scale_of(sp["quant_stem"]))
+
+    # ---- blocks
+    for bp, bs, (indim, outdim, half) in zip(
+            params["blocks"], state["blocks"], spec.block_layout()):
+        stride = 2 if half else 1
+        # relu1 after BN1 is a QuantReLU (unsigned output)
+        a1 = conv_tlu(h, np.asarray(bp["c1"]["w"]), bp["bn1"], bs["bn1"],
+                      stride, 1, out_scale=scale_of(bp["relu1"]),
+                      out_relu=True)
+        a2 = conv_tlu(a1, np.asarray(bp["c2"]["w"]), bp["bn2"], bs["bn2"],
+                      1, 1, out_scale=scale_of(bp["quant_out"]))
+
+        if indim != outdim:
+            sc = conv_tlu(h, np.asarray(bp["shortcut"]["w"]), bp["bn_sc"],
+                          bs["bn_sc"], stride, 0,
+                          out_scale=scale_of(bp["quant_sc"]))
+        else:
+            sc = h
+
+        # residual add with scale unification (levelled)
+        s_max = max(a2.scale, sc.scale)
+        g = ADD_MULT_BITS
+        ca = max(1, int(round(a2.scale / s_max * (1 << g))))
+        cb = max(1, int(round(sc.scale / s_max * (1 << g))))
+        s_v = s_max / (1 << g)
+        v_name = fresh("v")
+        ops.append(AddScaled(a2.name, ca, sc.name, cb, 0, 0, v_name))
+        shapes[v_name] = a2.shape
+        v_bound = max(abs(ca * a2.lo + cb * sc.lo),
+                      abs(ca * a2.hi + cb * sc.hi), 1)
+
+        s_r2 = scale_of(bp["relu2"])
+        lo2, hi2 = act_qrange(bw, signed=False, relu=True)
+        h = add_site(v_name, a2.shape, v_bound, a2.shape[-1],
+                     lambda c, a, s_v=s_v: s_v * a + 0.0 * c,
+                     s_r2, lo2, hi2)
+
+    # ---- head: avgpool sum -> quant TLU -> output
+    kp = st.avgpool_kernel
+    p_name = fresh("pool")
+    ops.append(PoolSum(h.name, kp, p_name))
+    oh, ow = h.shape[0] // kp, h.shape[1] // kp
+    shapes[p_name] = (oh, ow, h.shape[-1])
+    p_bound = kp * kp * h.absmax
+    s_pool = scale_of(params["head"]["quant_pool"])
+    lo_p, hi_p = act_qrange(bw, signed=True, relu=False)
+    inv = h.scale / (kp * kp)
+    y = add_site(p_name, (oh, ow, h.shape[-1]), p_bound, h.shape[-1],
+                 lambda c, a, inv=inv: inv * a + 0.0 * c,
+                 s_pool, lo_p, hi_p)
+    ops.append(Output(y.name, y.scale))
+
+    # ---- budget pass: propagate consumer budgets to producer tensors
+    for op in ops:
+        if isinstance(op, (Conv, PoolSum)):
+            n_budget[op.x] = max(n_budget.get(op.x, 0), n_budget[op.out])
+        elif isinstance(op, AddScaled):
+            n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
+            n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
+    # note: walking forward is sufficient — an acc/v tensor's budget is fixed
+    # by its worst-case bound before any consumer reads it, and consumers
+    # appear after producers in the op list.
+
+    # margin bits: if round-up at the bound edge could spill past the top
+    # table window, widen that accumulator's budget (and re-propagate).
+    for _ in range(3):
+        changed = False
+        for s in sites:
+            n = n_budget[s.acc_name]
+            r_eff = min(r, n)
+            shift = n - r_eff
+            if shift > 0 and s.acc_bound > 2 ** (n - 1) - 2 ** (shift - 1):
+                n_budget[s.acc_name] = n + 1
+                changed = True
+        if changed:
+            for op in ops:
+                if isinstance(op, (Conv, PoolSum)):
+                    n_budget[op.x] = max(n_budget.get(op.x, 0), n_budget[op.out])
+                elif isinstance(op, AddScaled):
+                    n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
+                    n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
+        else:
+            break
+
+    # alignment exponents for AddScaled inputs
+    for op in ops:
+        if isinstance(op, AddScaled):
+            op.ja = n_budget[op.a] - n_budget[op.out]
+            op.jb = n_budget[op.b] - n_budget[op.out]
+            assert op.ja >= 0 and op.jb >= 0
+
+    qin.n = n_budget["x0"]
+
+    # ---- materialize TLU tables with final budgets
+    out_pos = {s.out_name: i for i, s in enumerate(sites)}
+    tlu_ops = {}
+    for s in sites:
+        n = n_budget[s.acc_name]
+        r_eff = min(r, n)
+        shift = n - r_eff
+        size = 1 << r_eff
+        u = np.arange(size)
+        acc_repr = (u - (size >> 1)).astype(np.float64) * float(2 ** shift)
+        c = np.arange(s.cout)
+        vals = s.value_fn(c[:, None], acc_repr[None, :])
+        table = np.clip(np.round(vals / s.out_scale), s.out_lo, s.out_hi)
+        out_n = n_budget.get(s.out_name, _bits_for(max(abs(s.out_lo),
+                                                       abs(s.out_hi))))
+        n_budget.setdefault(s.out_name, out_n)
+        tlu_ops[s.acc_name] = Tlu(s.acc_name, TluSpec(r_eff, shift, out_n),
+                                  table.astype(np.int32), s.out_name)
+
+    # splice Tlu ops right after their accumulator producers
+    final_ops = []
+    for op in ops:
+        final_ops.append(op)
+        out = getattr(op, "out", None)
+        if out in tlu_ops:
+            final_ops.append(tlu_ops[out])
+
+    return Circuit(final_ops, (H, W, spec.in_channels), dict(n_budget),
+                   {"shapes": dict(shapes), "n_bits": n_bits,
+                    "rounding_threshold_bits": r, "bit_width": bw})

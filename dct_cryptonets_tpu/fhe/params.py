@@ -105,9 +105,9 @@ class NoiseModel:
         return (p.lwe_dim / 2.0 + 1.0) * (step * step) / 12.0
 
     def var_pbs_output(self) -> float:
-        """Noise on a freshly bootstrapped ciphertext (post keyswitch order:
-        BR -> sample-extract -> KS)."""
-        return self.var_blind_rotate() + self.var_keyswitch()
+        """Noise on a freshly bootstrapped activation (KS-first order:
+        the big-LWE extracted after blind rotate carries only BR noise)."""
+        return self.var_blind_rotate()
 
     # -- error probability
 
@@ -116,11 +116,12 @@ class NoiseModel:
         """P(the PBS reads a wrong table window) for `message_bits` TLUs.
 
         The decision margin is half the encoding window, q / 2^(bits+2);
-        noise at decision time = input noise + mod-switch noise.
+        decision-time noise = (amplified) input noise + keyswitch noise +
+        mod-switch noise (KS -> MS -> BR pipeline order).
         """
         p = self.p
         margin = 2.0 ** (p.q_bits - (message_bits + 2))
-        var = self.var_mod_switch()
+        var = self.var_mod_switch() + self.var_keyswitch()
         if input_variance is not None:
             var += input_variance
         sigma = math.sqrt(var)
@@ -133,7 +134,7 @@ class NoiseModel:
         margin = 2.0 ** (self.p.q_bits - (message_bits + 2))
         z = st.norm.isf(p_error / 2.0)
         total_var = (margin / z) ** 2
-        slack = total_var - self.var_mod_switch()
+        slack = total_var - self.var_mod_switch() - self.var_keyswitch()
         return math.sqrt(max(slack, 0.0))
 
 
@@ -141,23 +142,26 @@ class NoiseModel:
 # presets
 
 # Shapes follow public TFHE-rs/Concrete 128-bit parameter sets for q = 2^64.
+# pbs_base_log * pbs_levels >= 26 keeps the gadget-decomposition remainder
+# (whose std ~ q / B^l) below the conv-weight amplification budget; digits
+# at base 2^13 fit two int8 byte limbs in the MXU external product.
 _PRESETS = {
     # message_bits (incl. sign of the rounded accumulator) -> params
     4: TFHEParams(lwe_dim=742, glwe_dim=1, poly_size=1024,
-                  pbs_base_log=23, pbs_levels=1, ks_base_log=3, ks_levels=5,
+                  pbs_base_log=13, pbs_levels=2, ks_base_log=4, ks_levels=6,
                   lwe_noise_log2=46.0, glwe_noise_log2=14.0, message_bits=4),
     5: TFHEParams(lwe_dim=776, glwe_dim=1, poly_size=2048,
-                  pbs_base_log=23, pbs_levels=1, ks_base_log=3, ks_levels=5,
+                  pbs_base_log=13, pbs_levels=2, ks_base_log=4, ks_levels=6,
                   lwe_noise_log2=45.5, glwe_noise_log2=12.0, message_bits=5),
     6: TFHEParams(lwe_dim=840, glwe_dim=1, poly_size=2048,
-                  pbs_base_log=22, pbs_levels=1, ks_base_log=3, ks_levels=6,
+                  pbs_base_log=13, pbs_levels=2, ks_base_log=4, ks_levels=6,
                   lwe_noise_log2=44.0, glwe_noise_log2=12.0, message_bits=6),
-    7: TFHEParams(lwe_dim=880, glwe_dim=1, poly_size=4096,
-                  pbs_base_log=15, pbs_levels=2, ks_base_log=3, ks_levels=6,
-                  lwe_noise_log2=43.5, glwe_noise_log2=12.0, message_bits=7),
-    8: TFHEParams(lwe_dim=920, glwe_dim=1, poly_size=8192,
-                  pbs_base_log=15, pbs_levels=2, ks_base_log=4, ks_levels=5,
-                  lwe_noise_log2=43.0, glwe_noise_log2=12.0, message_bits=8),
+    7: TFHEParams(lwe_dim=970, glwe_dim=1, poly_size=4096,
+                  pbs_base_log=13, pbs_levels=2, ks_base_log=3, ks_levels=8,
+                  lwe_noise_log2=41.5, glwe_noise_log2=12.0, message_bits=7),
+    8: TFHEParams(lwe_dim=1024, glwe_dim=1, poly_size=8192,
+                  pbs_base_log=13, pbs_levels=2, ks_base_log=3, ks_levels=8,
+                  lwe_noise_log2=40.0, glwe_noise_log2=12.0, message_bits=8),
 }
 
 # Tiny insecure parameters for fast unit tests of the runtime mechanics.

@@ -47,25 +47,34 @@ U32 = jnp.uint32
 
 class DeviceServerKeys(NamedTuple):
     """Server key material in TPU-friendly byte-limb layout."""
-    # (n, (k+1)*l, k+1, 2N, 8) int8: byte limbs of [bsk, -bsk] minus 128
+    # (n, (k+1)*l, k+1, 2N, 8) int8: balanced byte limbs of [bsk, -bsk]
     bsk_bytes: jax.Array
-    # (kN * l_ks, n+1, 8) int8: byte limbs of the keyswitch LWEs minus 128
+    # (kN * l_ks, n+1, 8) int8: balanced byte limbs of the keyswitch LWEs
     ksk_bytes: jax.Array
 
 
-def _u64_to_bytes_offset(x: np.ndarray) -> np.ndarray:
-    """uint64 array -> (..., 8) int8 byte limbs, value bytes minus 128."""
-    b = x[..., None] >> (np.arange(8, dtype=np.uint64) * np.uint64(8))
-    b = (b & np.uint64(0xFF)).astype(np.int16) - 128
-    return b.astype(np.int8)
+def u64_to_balanced_bytes(x: np.ndarray) -> np.ndarray:
+    """uint64 array -> (..., 8) int8 *balanced* byte digits.
+
+    x === sum_u b_u * 256^u (mod 2^64) with b_u in [-128, 128); the carry out
+    of the top byte wraps mod 2^64.  Balanced digits keep every matmul
+    operand in int8 with no offset-correction terms.
+    """
+    r = x.astype(np.int64)  # two's complement reinterpretation
+    out = np.empty((*x.shape, 8), np.int8)
+    for u in range(8):
+        b = ((r + 128) & 255) - 128
+        out[..., u] = b.astype(np.int8)
+        r = (r - b) >> 8
+    return out
 
 
 def preprocess_server_keys(sk: ServerKeyMaterial) -> DeviceServerKeys:
     with np.errstate(over="ignore"):
         doubled = np.concatenate([sk.bsk, -sk.bsk], axis=-1)  # (..., 2N)
-    bsk_bytes = _u64_to_bytes_offset(doubled)
+    bsk_bytes = u64_to_balanced_bytes(doubled)
     kN, l_ks, n1 = sk.ksk.shape
-    ksk_bytes = _u64_to_bytes_offset(sk.ksk.reshape(kN * l_ks, n1))
+    ksk_bytes = u64_to_balanced_bytes(sk.ksk.reshape(kN * l_ks, n1))
     return DeviceServerKeys(jnp.asarray(bsk_bytes), jnp.asarray(ksk_bytes))
 
 
@@ -158,8 +167,6 @@ def external_product_step(diff: T.T64, bsk_bytes_i: jax.Array,
 
     # int8 matmuls per (digit byte u, key limb v), bucketed by s = u + v
     buckets: dict[int, jax.Array] = {}
-    # correction: matrix entries are (byte - 128) -> add 128 * rowsum(d)
-    rowsums = jnp.sum(dB.astype(I32), axis=-1)       # (dbytes, M)
     for u in range(dbytes):
         for v in range(8):
             s = u + v
@@ -168,7 +175,6 @@ def external_product_step(diff: T.T64, bsk_bytes_i: jax.Array,
             prod = jax.lax.dot(
                 dB[u], mat[v], preferred_element_type=I32,
             )                                        # (M, (k+1)*N)
-            prod = prod + 128 * rowsums[u][:, None]
             buckets[s] = buckets.get(s, 0) + prod
 
     shifts = sorted(buckets)
@@ -267,7 +273,6 @@ def key_switch(big_ct: T.T64, ksk_bytes: jax.Array,
     digits = jnp.transpose(digits, (1, 2, 0)).reshape(M, kN * levels)
     dbytes = _digit_bytes_count(blog)
     dB = signed_byte_split(digits, dbytes)           # (dbytes, M, kN*l)
-    rowsums = jnp.sum(dB.astype(I32), axis=-1)       # (dbytes, M)
 
     buckets: dict[int, jax.Array] = {}
     for u in range(dbytes):
@@ -277,7 +282,6 @@ def key_switch(big_ct: T.T64, ksk_bytes: jax.Array,
                 continue
             prod = jax.lax.dot(dB[u], ksk_bytes[:, :, v],
                                preferred_element_type=I32)
-            prod = prod + 128 * rowsums[u][:, None]
             buckets[s] = buckets.get(s, 0) + prod
     shifts = sorted(buckets)
     acc = _combine_buckets([buckets[s] for s in shifts], shifts)  # (M, n+1)
@@ -314,20 +318,26 @@ def make_test_polys(tables: jax.Array, params: TFHEParams,
     return negacyclic_rotate(vals, amount)
 
 
+@partial(jax.jit, static_argnames=("params", "out_delta_log2", "drop_limbs"))
 def bootstrap(ct: T.T64, tables: jax.Array, dsk: DeviceServerKeys,
               params: TFHEParams, out_delta_log2: int,
               drop_limbs: int = 0) -> T.T64:
-    """Batched programmable bootstrap.
+    """Batched programmable bootstrap, Concrete order: KS -> MS -> BR -> SE.
 
-    ct: (M, n+1) T64 small-LWE ciphertexts encoding index u with
+    Activations live as big-LWE (dim kN) so that levelled dot products
+    amplify only the (small) blind-rotate output noise, never the keyswitch
+    noise — the keyswitch to the small key happens right before each PBS
+    and its noise goes straight into the modulus switch.
+
+    ct: (M, kN+1) T64 big-LWE ciphertexts encoding index u with
         Delta_in = 2^(64 - r - 1) where tables.shape[1] == 2^r.
     tables: (M, 2^r) int32.
-    Returns (M, n+1) T64 encrypting tables[u] * 2^out_delta_log2.
+    Returns (M, kN+1) T64 big-LWE encrypting tables[u] * 2^out_delta_log2.
     """
     n, N = params.lwe_dim, params.poly_size
-    ms = mod_switch(ct, N)                           # (M, n+1) uint32
+    small = key_switch(ct, dsk.ksk_bytes, params)    # (M, n+1)
+    ms = mod_switch(small, N)                        # (M, n+1) uint32
     test = make_test_polys(tables, params, out_delta_log2)
     acc = blind_rotate(test, ms[:, :n], ms[:, n], dsk.bsk_bytes, params,
                        drop_limbs)
-    big = sample_extract(acc, params)
-    return key_switch(big, dsk.ksk_bytes, params)
+    return sample_extract(acc, params)

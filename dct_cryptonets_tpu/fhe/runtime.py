@@ -1,0 +1,243 @@
+"""Encrypted execution of compiled circuits.
+
+The framework's equivalent of Concrete's compiled ``q_module`` — the object
+the reference drives as ``q_module.forward(data, fhe=...)`` after
+``fhe_circuit.keygen()`` (reference homomorphic_eval.py:60-86, 314-316).
+
+Server-side levelled ops run on ciphertext *limb bytes*: a T64 LWE tensor is
+split into 8 balanced int8 byte planes, the integer conv/pool runs per plane
+as an exact f32 conv on the MXU (operands small enough that f32 is exact),
+and planes recombine with shifts mod 2^64.  TLUs batch all sites of a layer
+into one `pbs.bootstrap` call so the blind rotate's CMUX matmuls fill the
+MXU.
+
+Client-side encrypt/decrypt stays in numpy (``fhe.keys``).
+"""
+import math
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import torus as T
+from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
+                      Tlu, simulate)
+from .keys import ClientKeys, decrypt_lwe, encrypt_lwe, keygen, make_server_keys
+from .params import TFHEParams, params_for_precision
+from .pbs import DeviceServerKeys, bootstrap, preprocess_server_keys
+
+U64 = np.uint64
+
+
+def _conv_limbs(ct: T.T64, w: np.ndarray, stride: int, padding: int) -> T.T64:
+    """Integer conv of a ciphertext tensor by plaintext integer weights.
+
+    ct: (B, n1, H, W, C) T64 (n1 = LWE size, treated as batch)
+    w:  (kh, kw, C, Cout) int32 with |w| small (fits the f32-exact budget)
+    """
+    B, n1, H, W, C = ct.hi.shape
+    bb = T.balanced_bytes(ct)                        # (8, B, n1, H, W, C)
+    bb = bb.reshape(8, B * n1, H, W, C)
+    wf = jnp.asarray(w, jnp.float32)
+    outs = []
+    for u in range(8):
+        y = jax.lax.conv_general_dilated(
+            bb[u].astype(jnp.float32), wf,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        outs.append(jnp.round(y).astype(jnp.int32))
+    acc = T.zeros(outs[0].shape)
+    for u in range(8):
+        acc = T.add(acc, T.from_i32_shifted(outs[u], 8 * u))
+    oh, ow, co = acc.hi.shape[1:]
+    return T.T64(acc.hi.reshape(B, n1, oh, ow, co),
+                 acc.lo.reshape(B, n1, oh, ow, co))
+
+
+def _pool_limbs(ct: T.T64, k: int) -> T.T64:
+    """Window-sum pooling — conv with an identity-channel ones kernel is
+    wasteful; sum windows directly per limb pair with wrapping adds."""
+    B, n1, H, W, C = ct.hi.shape
+    oh, ow = H // k, W // k
+    hi = ct.hi[:, :, :oh * k, :ow * k].reshape(B, n1, oh, k, ow, k, C)
+    lo = ct.lo[:, :, :oh * k, :ow * k].reshape(B, n1, oh, k, ow, k, C)
+    acc = T.zeros((B, n1, oh, ow, C))
+    for i in range(k):
+        for j in range(k):
+            acc = T.add(acc, T.T64(hi[:, :, :, i, :, j], lo[:, :, :, i, :, j]))
+    return acc
+
+
+@dataclass
+class CompiledModule:
+    """Mirror of Concrete's q_module API surface used by the reference."""
+    circuit: Circuit
+    params: TFHEParams
+    client_keys: ClientKeys | None = None
+    device_keys: DeviceServerKeys | None = None
+    pbs_batch: int = 4096
+    stats: dict = field(default_factory=dict)
+
+    # -- reference-compatible helpers ------------------------------------
+    def maximum_integer_bit_width(self) -> int:
+        return self.circuit.max_bit_width()
+
+    def keygen(self, seed: int = 0):
+        t = time.time()
+        self.client_keys = keygen(self.params, seed)
+        sk = make_server_keys(self.client_keys, seed + 1)
+        self.device_keys = preprocess_server_keys(sk)
+        self.stats["keygen_time"] = time.time() - t
+
+    # -- client side ------------------------------------------------------
+    def encrypt(self, x: np.ndarray, rng=None) -> T.T64:
+        """Quantize + encrypt a float input batch (B, H, W, C)."""
+        rng = rng or np.random.default_rng(1234)
+        qin = self.circuit.ops[0]
+        assert isinstance(qin, QuantIn)
+        qmax = 2 ** (qin.bits - 1) - 1
+        qmin = -(2 ** (qin.bits - 1))
+        x_int = np.clip(np.round(np.asarray(x) / qin.scale), qmin, qmax)
+        delta_log2 = 63 - qin.n
+        with np.errstate(over="ignore"):
+            mu = (x_int.astype(np.int64).astype(U64) << U64(delta_log2))
+        # activations are big-LWE (under the flattened GLWE key): levelled
+        # ops amplify only this fresh noise + BR noise, never KS noise
+        ct = encrypt_lwe(self.client_keys, mu, rng,
+                         key=self.client_keys.big_lwe_key,
+                         noise_log2=self.params.glwe_noise_log2)
+        # (B,H,W,C,kN+1)
+        B, H, W, C, n1 = ct.shape
+        ct = np.moveaxis(ct, -1, 1)                   # (B, n1, H, W, C)
+        return T.from_u64(ct)
+
+    def decrypt_feats(self, ct: T.T64) -> np.ndarray:
+        """Decrypt output ciphertexts -> float features (B, F)."""
+        out_op = self.circuit.ops[-1]
+        assert isinstance(out_op, Output)
+        n_y = self.circuit.n_budget[out_op.x]
+        shift = 63 - n_y
+        cts = T.to_u64(ct)                            # (B, n1, h, w, C)
+        B, n1 = cts.shape[:2]
+        flat = np.moveaxis(cts, 1, -1).reshape(B, -1, n1)
+        phase = decrypt_lwe(self.client_keys, flat,
+                            key=self.client_keys.big_lwe_key)
+        with np.errstate(over="ignore"):
+            v = ((phase + (U64(1) << U64(shift - 1))) >> U64(shift))
+        mod = 1 << (n_y + 1)
+        v = (v & U64(mod - 1)).astype(np.int64)
+        v = np.where(v >= mod // 2, v - mod, v)
+        return v.astype(np.float32) * out_op.scale
+
+    # -- server side -------------------------------------------------------
+    def run_encrypted(self, ct_in: T.T64, drop_limbs: int = 0) -> T.T64:
+        env = {}
+        pbs_count = 0
+        t0 = time.time()
+        for op in self.circuit.ops:
+            if isinstance(op, QuantIn):
+                env[op.out] = ct_in
+            elif isinstance(op, Conv):
+                env[op.out] = _conv_limbs(env[op.x], op.w, op.stride,
+                                          op.padding)
+            elif isinstance(op, PoolSum):
+                env[op.out] = _pool_limbs(env[op.x], op.k)
+            elif isinstance(op, AddScaled):
+                a = T.scalar_mul(env[op.a], op.ca * (1 << op.ja))
+                b = T.scalar_mul(env[op.b], op.cb * (1 << op.jb))
+                env[op.out] = T.add(a, b)
+            elif isinstance(op, Tlu):
+                env[op.out] = self._run_tlu(env[op.x], op, drop_limbs)
+                pbs_count += int(np.prod(env[op.x].hi.shape)) // \
+                    env[op.x].hi.shape[1]
+            elif isinstance(op, Output):
+                result = env[op.x]
+            else:
+                raise TypeError(op)
+        self.stats["pbs_per_sample"] = self.circuit.num_pbs
+        self.stats["execute_time"] = time.time() - t0
+        return result
+
+    def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int) -> T.T64:
+        spec = op.spec
+        B, n1, H, W, C = ct.hi.shape
+        M = B * H * W * C
+        # sites-first layout: (B,H,W,C,n1)
+        hi = jnp.moveaxis(ct.hi, 1, -1).reshape(M, n1)
+        lo = jnp.moveaxis(ct.lo, 1, -1).reshape(M, n1)
+        flat = T.T64(hi, lo)
+        # Body constant: recenter (+2^(r-1) * Delta_pbs == +2^62) plus a
+        # half-LSB dither (+Delta_x / 2 == 2^(62-n)) that turns the PBS's
+        # round-to-nearest-window into exactly the simulator's
+        # floor((acc + 2^(shift-1)) / 2^shift) — no rounding ties remain,
+        # so simulate and execute agree bit-exactly whenever the ciphertext
+        # noise stays below half an accumulator LSB.
+        n_in = spec.in_bits + spec.shift
+        const = T.add(T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), 62),
+                      T.from_i32_shifted(jnp.ones((M, 1), jnp.int32),
+                                         62 - n_in))
+        body = T.add(T.T64(flat.hi[:, -1:], flat.lo[:, -1:]), const)
+        flat = T.T64(jnp.concatenate([flat.hi[:, :-1], body.hi], axis=1),
+                     jnp.concatenate([flat.lo[:, :-1], body.lo], axis=1))
+
+        tables = jnp.asarray(op.table, jnp.int32)     # (C, 2^r)
+        site_tables = jnp.broadcast_to(tables[None, None, None],
+                                       (B, H, W, C, tables.shape[1]))
+        site_tables = site_tables.reshape(M, tables.shape[1])
+
+        out_delta = 63 - spec.out_n
+        outs_hi, outs_lo = [], []
+        for s in range(0, M, self.pbs_batch):
+            e = min(s + self.pbs_batch, M)
+            chunk = T.T64(flat.hi[s:e], flat.lo[s:e])
+            res = bootstrap(chunk, site_tables[s:e], self.device_keys,
+                            self.params, out_delta, drop_limbs)
+            outs_hi.append(res.hi)
+            outs_lo.append(res.lo)
+        out = T.T64(jnp.concatenate(outs_hi, 0), jnp.concatenate(outs_lo, 0))
+        n_big = self.params.big_lwe_dim + 1
+        hi = jnp.moveaxis(out.hi.reshape(B, H, W, C, n_big), -1, 1)
+        lo = jnp.moveaxis(out.lo.reshape(B, H, W, C, n_big), -1, 1)
+        return T.T64(hi, lo)
+
+    # -- the reference-style entry point ----------------------------------
+    def forward(self, x: np.ndarray, fhe: str = "simulate",
+                drop_limbs: int = 0) -> np.ndarray:
+        """x: float input batch (B, H, W, C) -> float features (B, F).
+
+        fhe='simulate': bit-exact integer simulation (fast, clear).
+        fhe='execute':  encrypt -> encrypted eval -> decrypt.
+        """
+        if fhe == "simulate":
+            return np.asarray(simulate(self.circuit, jnp.asarray(x)))
+        if fhe == "execute":
+            assert self.client_keys is not None, "call keygen() first"
+            ct = self.encrypt(x)
+            out = self.run_encrypted(ct, drop_limbs)
+            return self.decrypt_feats(out)
+        raise ValueError(f"unknown fhe mode {fhe!r}")
+
+
+def compile_qat_model(params, state, spec, *, n_bits: int = 5,
+                      rounding_threshold_bits: int = 6,
+                      calib_absmax: float | None = None,
+                      tfhe_params: TFHEParams | None = None,
+                      pbs_batch: int = 4096) -> CompiledModule:
+    """End-to-end compile: QAT model -> circuit -> executable module.
+
+    Mirrors ``compile_brevitas_qat_model(model.module.feature, calib_data,
+    rounding_threshold_bits, n_bits, p_error)`` (reference
+    homomorphic_eval.py:276-285).
+    """
+    from .compiler import lower
+    circ = lower(params, state, spec, n_bits=n_bits,
+                 rounding_threshold_bits=rounding_threshold_bits,
+                 calib_absmax=calib_absmax)
+    max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
+    p = tfhe_params or params_for_precision(max_r)
+    return CompiledModule(circ, p, pbs_batch=pbs_batch)

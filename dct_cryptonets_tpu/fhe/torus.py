@@ -173,6 +173,43 @@ def decompose(a: T64, base_log: int, levels: int):
     return jnp.stack(digits, axis=0)
 
 
+def balanced_bytes(a: T64) -> jax.Array:
+    """T64 -> (8, *shape) int8 balanced byte digits (device-side).
+
+    a === sum_u b_u * 256^u (mod 2^64), b_u in [-128, 128); the top carry
+    wraps.  Used to run levelled integer ops (conv, pool) on ciphertext
+    limbs as exact small-operand matmuls.
+    """
+    out = []
+    # lo limb: unsigned; extract 4 balanced bytes tracking the uint32 wrap
+    # of (r - b) when b < 0 (b < 0 implies the true diff >= 129, so a
+    # wrapped diff is identifiable by diff < 256).
+    r32 = a.lo
+    for _ in range(4):
+        low = (r32 & U32(255)).astype(jnp.int32)
+        b = ((low + 128) & 255) - 128
+        out.append(b.astype(jnp.int8))
+        diff = r32 - b.astype(U32)
+        wrapped = (b < 0) & (diff < U32(256))
+        r32 = (diff >> U32(8)) + jnp.where(wrapped, U32(1 << 24), U32(0))
+    # after 4 bytes the remainder is the carry into the hi limb (0 or 1)
+    h = (a.hi + r32).astype(jnp.int32)
+    # hi limb (+ carry): signed arithmetic; the final carry wraps mod 2^64
+    for _ in range(4):
+        b = ((h + 128) & 255) - 128
+        out.append(b.astype(jnp.int8))
+        h = (h - b) >> 8
+    return jnp.stack(out, axis=0)
+
+
+def from_balanced_bytes(bb: jax.Array) -> T64:
+    """Inverse of :func:`balanced_bytes` (for tests)."""
+    acc = zeros(bb.shape[1:])
+    for u in range(8):
+        acc = add(acc, from_i32_shifted(bb[u].astype(jnp.int32), 8 * u))
+    return acc
+
+
 def recompose(digits, base_log: int) -> T64:
     """Inverse of :func:`decompose` (for testing): sum_i d_i * 2^(64-i*B)."""
     levels = digits.shape[0]

@@ -1,2 +1,3 @@
-from .resnet import ModelSpec, build_spec, init_model, forward  # noqa: F401
+from .resnet import (ModelSpec, build_spec, calibrate_scales,  # noqa: F401
+                     forward, init_model)
 from .topology import NETWORK_PERTURBATIONS, stem_spec  # noqa: F401

@@ -49,9 +49,12 @@ class ModelSpec:
     bit_width: int = 4
     quantized: bool = True
     skip_single_downsample: bool = False
+    stem_override: StemSpec | None = None  # for tests / custom topologies
 
     @property
     def stem(self) -> StemSpec:
+        if self.stem_override is not None:
+            return self.stem_override
         return stem_spec(self.widths[0], self.in_channels, self.img_size)
 
     def block_layout(self):
@@ -224,7 +227,23 @@ def _qconv_w(p, spec):
     return fake_quant_weight(w, spec.bit_width) if spec.quantized else w
 
 
-def forward(params, state, x, spec: ModelSpec, train: bool = False):
+def _act_q(h, node, bits, relu: bool, calib: dict | None, path: tuple):
+    """Apply an activation fake-quant node; in calibration mode derive the
+    scale from the running batch (Brevitas runtime-stats init) and record it.
+    """
+    if calib is not None:
+        qmax = (2 ** bits - 1) if relu else (2 ** (bits - 1) - 1)
+        ref = jnp.max(h) if relu else jnp.max(jnp.abs(h))
+        scale = jnp.maximum(ref, 1e-6) / qmax
+        calib[path] = scale
+    else:
+        scale = node["scale"]
+    return (fake_quant_relu(h, scale, bits) if relu
+            else fake_quant_act_signed(h, scale, bits))
+
+
+def forward(params, state, x, spec: ModelSpec, train: bool = False,
+            calib: dict | None = None):
     """Full model forward.
 
     Args:
@@ -240,7 +259,7 @@ def forward(params, state, x, spec: ModelSpec, train: bool = False):
 
     h = x
     if spec.quantized:
-        h = fake_quant_act_signed(h, sp["quant_in"]["scale"], b)
+        h = _act_q(h, sp["quant_in"], b, False, calib, ("stem", "quant_in"))
     if st.conv1_kernel is not None:
         h = conv2d(h, _qconv_w(sp["conv"], spec), st.conv1_stride,
                    st.conv1_padding)
@@ -248,47 +267,75 @@ def forward(params, state, x, spec: ModelSpec, train: bool = False):
         new_state["stem"]["bn"] = nbs
     if st.relu1:
         if spec.quantized:
-            h = fake_quant_relu(h, sp["relu1"]["scale"], b)
+            h = _act_q(h, sp["relu1"], b, True, calib, ("stem", "relu1"))
         else:
             h = jax.nn.relu(h)
     if st.pool1_kernel is not None:
         h = maxpool(h, st.pool1_kernel, st.pool1_stride)
     if spec.quantized:
-        h = fake_quant_act_signed(h, sp["quant_stem"]["scale"], b)
+        h = _act_q(h, sp["quant_stem"], b, False, calib, ("stem", "quant_stem"))
 
-    for bp, bs, (indim, outdim, half) in zip(
-            params["blocks"], state["blocks"], spec.block_layout()):
+    for bi, (bp, bs, (indim, outdim, half)) in enumerate(zip(
+            params["blocks"], state["blocks"], spec.block_layout())):
         nbs = {}
         out = conv2d(h, _qconv_w(bp["c1"], spec), 2 if half else 1, 1)
         out, nbs["bn1"] = batchnorm(out, bp["bn1"], bs["bn1"], train)
         if spec.quantized:
-            out = fake_quant_relu(out, bp["relu1"]["scale"], b)
+            out = _act_q(out, bp["relu1"], b, True, calib, ("blocks", bi, "relu1"))
         else:
             out = jax.nn.relu(out)
         out = conv2d(out, _qconv_w(bp["c2"], spec), 1, 1)
         out, nbs["bn2"] = batchnorm(out, bp["bn2"], bs["bn2"], train)
         if spec.quantized:
-            out = fake_quant_act_signed(out, bp["quant_out"]["scale"], b)
+            out = _act_q(out, bp["quant_out"], b, False, calib,
+                         ("blocks", bi, "quant_out"))
 
         if indim != outdim:
             sc = conv2d(h, _qconv_w(bp["shortcut"], spec), 2 if half else 1, 0)
             sc, nbs["bn_sc"] = batchnorm(sc, bp["bn_sc"], bs["bn_sc"], train)
             if spec.quantized:
-                sc = fake_quant_act_signed(sc, bp["quant_sc"]["scale"], b)
+                sc = _act_q(sc, bp["quant_sc"], b, False, calib,
+                            ("blocks", bi, "quant_sc"))
         else:
             sc = h
 
         out = out + sc
         if spec.quantized:
-            h = fake_quant_relu(out, bp["relu2"]["scale"], b)
+            h = _act_q(out, bp["relu2"], b, True, calib, ("blocks", bi, "relu2"))
         else:
             h = jax.nn.relu(out)
         new_state["blocks"].append(nbs)
 
     h = avgpool(h, st.avgpool_kernel)
     if spec.quantized:
-        h = fake_quant_act_signed(h, params["head"]["quant_pool"]["scale"], b)
+        h = _act_q(h, params["head"]["quant_pool"], b, False, calib,
+                   ("head", "quant_pool"))
     feats = h.reshape(h.shape[0], -1)
 
     logits = feats @ params["classifier"]["w"] + params["classifier"]["b"]
     return feats, logits, new_state
+
+
+def calibrate_scales(params, state, x, spec: ModelSpec):
+    """Brevitas-style runtime-stats initialization of the activation scales.
+
+    Runs one forward pass in which every activation quantizer derives its
+    scale from the current batch statistics (progressively, so later nodes
+    see already-quantized upstream activations), then returns a params
+    pytree with those scales installed.  Call once on a representative
+    batch before QAT training.
+    """
+    calib: dict = {}
+    # train=True: calibration must see batch-stats BatchNorm, matching the
+    # distribution the quantizers face during QAT training (fresh running
+    # stats would mis-scale every post-BN quantizer).
+    forward(params, state, x, spec, train=True, calib=calib)
+    import copy
+    new_params = jax.tree_util.tree_map(lambda a: a, params)  # shallow-ish
+    new_params = copy.deepcopy(jax.device_get(new_params))
+    for path, scale in calib.items():
+        node = new_params
+        for k in path:
+            node = node[k]
+        node["scale"] = jnp.asarray(jax.device_get(scale))
+    return jax.tree_util.tree_map(jnp.asarray, new_params)

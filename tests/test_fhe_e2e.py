@@ -1,0 +1,106 @@
+"""End-to-end FHE tests: compile tiny QAT model -> simulate == execute.
+
+This is the framework's core contract (BASELINE.md north star): decrypted
+logits from the encrypted runtime must match the integer simulator
+bit-exactly (the simulator in turn stands in for Concrete's
+``fhe='simulate'`` oracle, reference homomorphic_eval.py:333-347).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dct_cryptonets_tpu.models import init_model
+from dct_cryptonets_tpu.models.resnet import ModelSpec, forward
+from dct_cryptonets_tpu.models.topology import StemSpec
+from dct_cryptonets_tpu.fhe import torus as T
+from dct_cryptonets_tpu.fhe.params import TEST_PARAMS
+from dct_cryptonets_tpu.fhe.compiler import lower
+from dct_cryptonets_tpu.fhe.circuit import Tlu, simulate
+from dct_cryptonets_tpu.fhe.runtime import compile_qat_model
+
+
+TINY = ModelSpec(
+    name="tinyqat", block_counts=(1,), widths=(4,), in_channels=3,
+    img_size=4, num_classes=4, bit_width=3, quantized=True,
+    stem_override=StemSpec(1, 1, 0, None, None, 4, relu1=True),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from dct_cryptonets_tpu.models import calibrate_scales
+    params, state = init_model(jax.random.key(0), TINY)
+    # run a couple of train-mode forwards so BN state is non-trivial
+    x = jax.random.normal(jax.random.key(1), (8, 4, 4, 3))
+    for _ in range(2):
+        _, _, state = forward(params, state, x, TINY, train=True)
+    # runtime-stats scale calibration (Brevitas-style init)
+    params = calibrate_scales(params, state, x, TINY)
+    return params, state
+
+
+def test_lower_structure(tiny_model):
+    params, state = tiny_model
+    circ = lower(params, state, TINY, n_bits=3, rounding_threshold_bits=3,
+                 calib_absmax=2.0)
+    tlus = [op for op in circ.ops if isinstance(op, Tlu)]
+    # stem TLU, relu1, quant_out, relu2, pool TLU (identity shortcut: no TLU)
+    assert len(tlus) == 5
+    assert circ.max_bit_width() <= 16
+    assert circ.num_pbs == 4 * 4 * 4 * 4 + 4  # 4 spatial TLUs + pooled head
+    for op in tlus:
+        assert op.spec.in_bits <= 3
+        assert op.table.shape[1] == 1 << op.spec.in_bits
+
+
+def test_simulator_matches_qat_forward_exactly_without_rounding(tiny_model):
+    """With rounding disabled (r >= max accumulator bits) the integer
+    simulator must reproduce the fake-quant QAT forward EXACTLY — BN fold,
+    TLU fusion, residual rescaling and all."""
+    params, state = tiny_model
+    circ = lower(params, state, TINY, rounding_threshold_bits=14)
+    x = np.clip(np.random.default_rng(2).normal(0, 0.7, (16, 4, 4, 3)), -2, 2)
+    feats_sim = np.asarray(simulate(circ, jnp.asarray(x, jnp.float32)))
+    feats_qat, _, _ = forward(params, state, jnp.asarray(x, jnp.float32),
+                              TINY, train=False)
+    np.testing.assert_allclose(feats_sim, np.asarray(feats_qat), atol=1e-5)
+
+
+def test_simulator_rounding_degrades_gracefully(tiny_model):
+    """Accumulator rounding (rounding_threshold_bits) is an approximation;
+    at r=6 the toy net should stay correlated with the exact forward."""
+    params, state = tiny_model
+    circ = lower(params, state, TINY, rounding_threshold_bits=6)
+    x = np.clip(np.random.default_rng(2).normal(0, 0.7, (16, 4, 4, 3)), -2, 2)
+    feats_sim = np.asarray(simulate(circ, jnp.asarray(x, jnp.float32)))
+    feats_qat, _, _ = forward(params, state, jnp.asarray(x, jnp.float32),
+                              TINY, train=False)
+    a, b = feats_sim.ravel(), np.asarray(feats_qat).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_execute_matches_simulate_bit_exact(tiny_model):
+    """The headline contract: encrypted execution == integer simulation."""
+    params, state = tiny_model
+    module = compile_qat_model(
+        params, state, TINY, n_bits=3, rounding_threshold_bits=3,
+        calib_absmax=2.0, tfhe_params=TEST_PARAMS, pbs_batch=512)
+    module.keygen(seed=5)
+
+    x = np.clip(np.random.default_rng(3).normal(0, 0.7, (1, 4, 4, 3)), -2, 2)
+    feats_sim = module.forward(x.astype(np.float32), fhe="simulate")
+    feats_exe = module.forward(x.astype(np.float32), fhe="execute")
+    np.testing.assert_array_equal(feats_exe, feats_sim)
+
+
+def test_balanced_bytes_roundtrip():
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1 << 63, (257,), dtype=np.int64).astype(np.uint64)
+    x = (x << np.uint64(1)) | rng.integers(0, 2, (257,)).astype(np.uint64)
+    t = T.from_u64(x)
+    bb = T.balanced_bytes(t)
+    assert bb.shape == (8, 257) and bb.dtype == jnp.int8
+    back = T.to_u64(T.from_balanced_bytes(bb))
+    np.testing.assert_array_equal(back, x)

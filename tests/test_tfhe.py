@@ -104,31 +104,34 @@ def test_keyswitch(material):
 
 
 def test_full_pbs_identity_table(material):
-    """Bootstrap with the identity TLU must return the input message."""
+    """Bootstrap (KS->MS->BR->SE on big-LWE) with the identity TLU."""
     ck, _, dsk = material
     rng = np.random.default_rng(8)
     bits = 3                                           # 8-entry table
     msgs = rng.integers(0, 2 ** bits, 16)
-    ct = K.encrypt_lwe(ck, encode(msgs, bits), rng)
+    ct = K.encrypt_lwe(ck, encode(msgs, bits), rng, key=ck.big_lwe_key,
+                       noise_log2=PAR.glwe_noise_log2)
     tables = jnp.tile(jnp.arange(2 ** bits, dtype=jnp.int32), (16, 1))
     out = P.bootstrap(T.from_u64(ct), tables, dsk, PAR,
                       out_delta_log2=64 - bits - 1)
-    dec = decode(K.decrypt_lwe(ck, T.to_u64(out)), bits)
+    dec = decode(K.decrypt_lwe(ck, T.to_u64(out), key=ck.big_lwe_key), bits)
     np.testing.assert_array_equal(dec, msgs)
 
 
 def test_full_pbs_arbitrary_table(material):
-    """Bootstrap with a random per-sample TLU."""
+    """Bootstrap with a random per-sample TLU; output stays big-LWE."""
     ck, _, dsk = material
     rng = np.random.default_rng(9)
     bits = 3
     M = 12
     msgs = rng.integers(0, 2 ** bits, M)
     tbl = rng.integers(0, 2 ** bits, (M, 2 ** bits))
-    ct = K.encrypt_lwe(ck, encode(msgs, bits), rng)
+    ct = K.encrypt_lwe(ck, encode(msgs, bits), rng, key=ck.big_lwe_key,
+                       noise_log2=PAR.glwe_noise_log2)
     out = P.bootstrap(T.from_u64(ct), jnp.asarray(tbl, jnp.int32), dsk, PAR,
                       out_delta_log2=64 - bits - 1)
-    dec = decode(K.decrypt_lwe(ck, T.to_u64(out)), bits)
+    assert out.hi.shape == (M, PAR.big_lwe_dim + 1)
+    dec = decode(K.decrypt_lwe(ck, T.to_u64(out), key=ck.big_lwe_key), bits)
     np.testing.assert_array_equal(dec, tbl[np.arange(M), msgs])
 
 
