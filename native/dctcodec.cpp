@@ -1,0 +1,248 @@
+// Host-side DCT ingest codec — native C++ equivalent of the reference's
+// libjpeg-turbo / jpeg2dct / OpenCV preprocessing stack (reference
+// data/cvfunctional.py:21-74, cvtransforms.py:56-208).
+//
+// The TPU framework normally runs the codec on-device (data/codec.py); this
+// native path exists for the reference's deployment shape — CPU-side
+// preprocessing pipelines that overlap with device compute — and for hosts
+// feeding multiple accelerators.  Numerics mirror data/codec.py exactly
+// (cv2-convention YCrCb with the reference's Cr/Cb swap, bilinear
+// half-pixel resize, orthonormal blockwise DCT, fs-8 JPEG path with BT.601
+// and 2x2 box chroma downsample + integer-rounded coefficients).
+//
+// Build:  make -C native        (produces libdctcodec.so)
+// Python binding: dct_cryptonets_tpu/data/native.py (ctypes).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+// bilinear resize with half-pixel centers (cv2 INTER_LINEAR semantics)
+void resize_bilinear(const float* src, int sh, int sw, int c,
+                     float* dst, int dh, int dw) {
+  const double sy = static_cast<double>(sh) / dh;
+  const double sx = static_cast<double>(sw) / dw;
+  for (int y = 0; y < dh; ++y) {
+    double fy = (y + 0.5) * sy - 0.5;
+    int y0 = static_cast<int>(std::floor(fy));
+    double wy = fy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= sh ? sh - 1 : y0);
+    int y1c = y0 + 1 < 0 ? 0 : (y0 + 1 >= sh ? sh - 1 : y0 + 1);
+    for (int x = 0; x < dw; ++x) {
+      double fx = (x + 0.5) * sx - 0.5;
+      int x0 = static_cast<int>(std::floor(fx));
+      double wx = fx - x0;
+      int x0c = x0 < 0 ? 0 : (x0 >= sw ? sw - 1 : x0);
+      int x1c = x0 + 1 < 0 ? 0 : (x0 + 1 >= sw ? sw - 1 : x0 + 1);
+      for (int ch = 0; ch < c; ++ch) {
+        double v00 = src[(y0c * sw + x0c) * c + ch];
+        double v01 = src[(y0c * sw + x1c) * c + ch];
+        double v10 = src[(y1c * sw + x0c) * c + ch];
+        double v11 = src[(y1c * sw + x1c) * c + ch];
+        dst[(y * dw + x) * c + ch] = static_cast<float>(
+            (1 - wy) * ((1 - wx) * v00 + wx * v01) +
+            wy * ((1 - wx) * v10 + wx * v11));
+      }
+    }
+  }
+}
+
+// orthonormal DCT basis T (fs x fs), row-major
+void dct_basis(int fs, double* T) {
+  for (int i = 0; i < fs; ++i)
+    for (int j = 0; j < fs; ++j)
+      T[i * fs + j] = i == 0 ? 1.0 / std::sqrt(static_cast<double>(fs))
+                             : std::sqrt(2.0 / fs) *
+                                   std::cos((2 * j + 1) * i * kPi / (2 * fs));
+}
+
+// blockwise 2-D DCT of one plane (h, w) -> (h/fs, w/fs, fs*fs)
+void blockwise_dct(const float* plane, int h, int w, int fs, bool round_int,
+                   const double* T, float* out) {
+  int nh = h / fs, nw = w / fs;
+  std::vector<double> tmp(fs * fs), tmp2(fs * fs);
+  for (int bi = 0; bi < nh; ++bi) {
+    for (int bj = 0; bj < nw; ++bj) {
+      // T * X
+      for (int i = 0; i < fs; ++i)
+        for (int j = 0; j < fs; ++j) {
+          double acc = 0;
+          for (int t = 0; t < fs; ++t)
+            acc += T[i * fs + t] *
+                   (plane[(bi * fs + t) * w + bj * fs + j] - 128.0);
+          tmp[i * fs + j] = acc;
+        }
+      // (T*X) * T^T
+      for (int i = 0; i < fs; ++i)
+        for (int j = 0; j < fs; ++j) {
+          double acc = 0;
+          for (int t = 0; t < fs; ++t) acc += tmp[i * fs + t] * T[j * fs + t];
+          tmp2[i * fs + j] = acc;
+        }
+      float* dst = out + (bi * nw + bj) * fs * fs;
+      for (int t = 0; t < fs * fs; ++t)
+        dst[t] = round_int ? static_cast<float>(std::nearbyint(tmp2[t]))
+                           : static_cast<float>(tmp2[t]);
+    }
+  }
+}
+
+struct Plan {
+  int fs, S;                    // filter size, output spatial size
+  int n_y, n_cb, n_cr;          // subset sizes
+  const int* idx_y;
+  const int* idx_cb;
+  const int* idx_cr;
+  const float* mean;            // (n_y+n_cb+n_cr)
+  const float* std;
+};
+
+// one image: uint8 RGB (P, P, 3) with P = fs * S -> out (S, S, C)
+void ingest_one(const uint8_t* img, const Plan& p, float* out) {
+  const int P = p.fs * p.S;
+  const int half = P / 2;
+  std::vector<float> y(P * P), cb(half * half), cr(half * half);
+
+  if (p.fs == 8) {
+    // JPEG path: BT.601 YCbCr + 2x2 box chroma downsample, rounded coeffs
+    std::vector<float> cbf(P * P), crf(P * P);
+    for (int i = 0; i < P * P; ++i) {
+      double r = img[i * 3], g = img[i * 3 + 1], b = img[i * 3 + 2];
+      double yy = 0.299 * r + 0.587 * g + 0.114 * b;
+      double cbv = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0;
+      double crv = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0;
+      y[i] = static_cast<float>(
+          std::fmin(255.0, std::fmax(0.0, std::nearbyint(yy))));
+      cbf[i] = static_cast<float>(
+          std::fmin(255.0, std::fmax(0.0, std::nearbyint(cbv))));
+      crf[i] = static_cast<float>(
+          std::fmin(255.0, std::fmax(0.0, std::nearbyint(crv))));
+    }
+    for (int i = 0; i < half; ++i)
+      for (int j = 0; j < half; ++j) {
+        auto box = [&](const std::vector<float>& v) {
+          double s = v[(2 * i) * P + 2 * j] + v[(2 * i) * P + 2 * j + 1] +
+                     v[(2 * i + 1) * P + 2 * j] +
+                     v[(2 * i + 1) * P + 2 * j + 1];
+          return static_cast<float>(std::nearbyint(s / 4.0));
+        };
+        cb[i * half + j] = box(cbf);
+        cr[i * half + j] = box(crf);
+      }
+  } else {
+    // manual path: cv2 YCrCb; reference binds Cr to the "cb" slot
+    // (cvfunctional.py:66) — mirrored here.
+    std::vector<float> crf(P * P), cbf(P * P);
+    for (int i = 0; i < P * P; ++i) {
+      double r = img[i * 3], g = img[i * 3 + 1], b = img[i * 3 + 2];
+      double yy = 0.299 * r + 0.587 * g + 0.114 * b;
+      double crv = (r - yy) * 0.713 + 128.0;
+      double cbv = (b - yy) * 0.564 + 128.0;
+      y[i] = static_cast<float>(
+          std::fmin(255.0, std::fmax(0.0, std::nearbyint(yy))));
+      crf[i] = static_cast<float>(
+          std::fmin(255.0, std::fmax(0.0, std::nearbyint(crv))));
+      cbf[i] = static_cast<float>(
+          std::fmin(255.0, std::fmax(0.0, std::nearbyint(cbv))));
+    }
+    resize_bilinear(crf.data(), P, P, 1, cb.data(), half, half);
+    resize_bilinear(cbf.data(), P, P, 1, cr.data(), half, half);
+    for (auto& v : cb) v = static_cast<float>(
+        std::fmin(255.0, std::fmax(0.0, std::nearbyint(v))));
+    for (auto& v : cr) v = static_cast<float>(
+        std::fmin(255.0, std::fmax(0.0, std::nearbyint(v))));
+  }
+
+  const int fs2 = p.fs * p.fs;
+  std::vector<double> T(fs2);
+  dct_basis(p.fs, T.data());
+  bool rnd = p.fs == 8;
+
+  const int nyb = P / p.fs;             // y blocks per side
+  const int ncb = half / p.fs;          // chroma blocks per side
+  std::vector<float> cy(nyb * nyb * fs2), ccb(ncb * ncb * fs2),
+      ccr(ncb * ncb * fs2);
+  blockwise_dct(y.data(), P, P, p.fs, rnd, T.data(), cy.data());
+  blockwise_dct(cb.data(), half, half, p.fs, rnd, T.data(), ccb.data());
+  blockwise_dct(cr.data(), half, half, p.fs, rnd, T.data(), ccr.data());
+
+  // upscale coefficient maps to (S, S, fs2) where needed
+  std::vector<float> uy(p.S * p.S * fs2), ucb(p.S * p.S * fs2),
+      ucr(p.S * p.S * fs2);
+  if (nyb != p.S)
+    resize_bilinear(cy.data(), nyb, nyb, fs2, uy.data(), p.S, p.S);
+  else
+    uy = cy;
+  if (ncb != p.S)
+    resize_bilinear(ccb.data(), ncb, ncb, fs2, ucb.data(), p.S, p.S);
+  else
+    ucb = ccb;
+  if (ncb != p.S)
+    resize_bilinear(ccr.data(), ncb, ncb, fs2, ucr.data(), p.S, p.S);
+  else
+    ucr = ccr;
+
+  // subset + aggregate + normalize -> (S, S, C) channel-last
+  const int C = p.n_y + p.n_cb + p.n_cr;
+  for (int s = 0; s < p.S * p.S; ++s) {
+    float* dst = out + s * C;
+    int c = 0;
+    for (int i = 0; i < p.n_y; ++i, ++c)
+      dst[c] = (uy[s * fs2 + p.idx_y[i]] - p.mean[c]) / p.std[c];
+    for (int i = 0; i < p.n_cb; ++i, ++c)
+      dst[c] = (ucb[s * fs2 + p.idx_cb[i]] - p.mean[c]) / p.std[c];
+    for (int i = 0; i < p.n_cr; ++i, ++c)
+      dst[c] = (ucr[s * fs2 + p.idx_cr[i]] - p.mean[c]) / p.std[c];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched ingest of center-cropped images.
+//   images: uint8 (B, P, P, 3), P = fs * S
+//   out:    float32 (B, S, S, n_y+n_cb+n_cr)
+// Threads across the batch with std::thread.
+void dct_ingest_batch(const uint8_t* images, int batch, int fs, int S,
+                      const int* idx_y, int n_y, const int* idx_cb, int n_cb,
+                      const int* idx_cr, int n_cr, const float* mean,
+                      const float* stdv, float* out, int num_threads) {
+  Plan plan{fs, S, n_y, n_cb, n_cr, idx_y, idx_cb, idx_cr, mean, stdv};
+  const int P = fs * S;
+  const int C = n_y + n_cb + n_cr;
+  const size_t in_stride = static_cast<size_t>(P) * P * 3;
+  const size_t out_stride = static_cast<size_t>(S) * S * C;
+  if (num_threads <= 1) {
+    for (int b = 0; b < batch; ++b)
+      ingest_one(images + b * in_stride, plan, out + b * out_stride);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int per = (batch + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    int lo = t * per, hi = std::min(batch, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=]() {
+      for (int b = lo; b < hi; ++b)
+        ingest_one(images + b * in_stride, plan, out + b * out_stride);
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Standalone blockwise DCT for testing: plane (h, w) float -> coeffs
+void blockwise_dct_plane(const float* plane, int h, int w, int fs,
+                         int round_int, float* out) {
+  std::vector<double> T(fs * fs);
+  dct_basis(fs, T.data());
+  blockwise_dct(plane, h, w, fs, round_int != 0, T.data(), out);
+}
+
+}  // extern "C"
