@@ -106,8 +106,8 @@ def _combine_buckets(buckets: list[jax.Array], shifts: list[int]) -> T.T64:
 # negacyclic rotations (per-sample amounts)
 
 
-def negacyclic_rotate(p: T.T64, amount: jax.Array) -> T.T64:
-    """X^amount * p for a batch: p (..., N) T64, amount (...,) in [0, 2N).
+def negacyclic_rotate_gather(p: T.T64, amount: jax.Array) -> T.T64:
+    """X^amount * p via gather (reference path; slow on TPU).
 
     (X^a p)[c] = p[c - a] with X^N = -1 wrap: index (c - a) mod 2N; take
     mod N and negate when the index is in [N, 2N).
@@ -125,6 +125,112 @@ def negacyclic_rotate(p: T.T64, amount: jax.Array) -> T.T64:
     return T.select(negate, T.neg(r), r)
 
 
+def static_negacyclic_roll(p: T.T64, r: int) -> T.T64:
+    """X^r * p for a STATIC r in [0, 2N): slice+concat roll with the
+    negacyclic sign flip — no gathers, pure VPU work."""
+    N = p.hi.shape[-1]
+    r = r % (2 * N)
+    upper = r >= N           # X^N = -1: global negation
+    r = r % N
+
+    def roll(x):
+        if r == 0:
+            return x
+        a, b = jnp.split(x, [N - r], axis=-1)
+        return jnp.concatenate([b, a], axis=-1)
+
+    out = T.T64(roll(p.hi), roll(p.lo))
+    negd = T.neg(out)
+    if r == 0:
+        return negd if upper else out
+    # wrapped positions c < r picked p[N - r + c] -> one extra sign flip
+    flip = jnp.arange(N) < r
+    if upper:
+        flip = ~flip
+    return T.select(flip, negd, out)
+
+
+def negacyclic_rotate_bits(p: T.T64, amount: jax.Array) -> T.T64:
+    """X^amount * p with per-sample amounts, via log2(2N) conditional
+    *static* rolls (amount bit decomposition).  No gathers, but ~8 VPU
+    passes per bit — used as fallback / reference.
+
+    p: (M, ..., N) T64; amount: (M,) integers in [0, 2N).
+    """
+    N = p.hi.shape[-1]
+    bits = int(np.log2(2 * N))
+    amount = jnp.asarray(amount).astype(jnp.uint32)
+    cond_shape = (amount.shape[0],) + (1,) * (p.hi.ndim - 1)
+    out = p
+    for b in range(bits):
+        rolled = static_negacyclic_roll(out, 1 << b)
+        cond = ((amount >> b) & 1).astype(bool).reshape(cond_shape)
+        out = T.select(cond, rolled, out)
+    return out
+
+
+_ROT_GROUP = 64  # fine-rotation group size (MXU-friendly)
+
+
+def negacyclic_rotate(p: T.T64, amount: jax.Array) -> T.T64:
+    """X^amount * p with per-sample amounts, as exact one-hot MXU matmuls.
+
+    The doubled-negated buffer [p, -p] (length 2N) turns the negacyclic
+    rotation into a pure circular roll.  The roll amount factors as
+    a = q * 64 + r; the fine roll (r) and coarse roll (q groups of 64) are
+    each applied as a batched einsum against a per-sample one-hot matrix.
+    Each output coefficient has exactly ONE contributing product, so bf16
+    arithmetic on byte planes is exact — the whole rotation rides the MXU
+    instead of doing log2(2N) masked-select passes on the VPU.
+
+    p: (M, J, N) T64; amount: (M,) integers in [0, 2N).
+    """
+    M, J, N = p.hi.shape
+    G = 2 * N // _ROT_GROUP                      # number of 64-groups
+    amount = jnp.asarray(amount).astype(jnp.int32)
+    r = amount % _ROT_GROUP
+    q = amount // _ROT_GROUP
+
+    # one-hot matrices (bf16; exact for 0/1 x byte products)
+    # fine: out[i] = x_ext[64 + i - r] over the 128-wide window
+    i_idx = jnp.arange(_ROT_GROUP)
+    j_idx = jnp.arange(2 * _ROT_GROUP)
+    oh_fine = (j_idx[None, :, None] ==
+               (_ROT_GROUP + i_idx[None, None, :] - r[:, None, None])
+               ).astype(jnp.bfloat16)            # (M, 128, 64)
+    g_idx = jnp.arange(G)
+    oh_coarse = (((g_idx[:, None] + q[:, None, None]) % G) ==
+                 g_idx[None, None, :]).astype(jnp.bfloat16)  # (M, G, G)
+
+    def rotate_plane(x_u32):
+        # doubled-negated circular buffer handled by caller; x: (M, J, 2N)
+        out_planes = []
+        for shift in (0, 8, 16, 24):
+            byte = ((x_u32 >> jnp.uint32(shift)) & jnp.uint32(0xFF)
+                    ).astype(jnp.bfloat16)
+            v = byte.reshape(M, J, G, _ROT_GROUP)
+            # fine roll by r: window = [prev group, this group]
+            prev = jnp.roll(v, 1, axis=2)        # static group shift
+            ext = jnp.concatenate([prev, v], axis=-1)   # (M, J, G, 128)
+            fine = jnp.einsum("mjgw,mwi->mjgi", ext, oh_fine,
+                              preferred_element_type=jnp.float32)
+            # coarse roll by q groups
+            coarse = jnp.einsum("mjgi,mgh->mjhi", fine, oh_coarse,
+                                preferred_element_type=jnp.float32)
+            out_planes.append(
+                coarse.reshape(M, J, 2 * N).astype(jnp.uint32)
+                << jnp.uint32(shift))
+        out = out_planes[0] | out_planes[1] | out_planes[2] | out_planes[3]
+        return out
+
+    nhi, nlo = T.neg(p)
+    dbl_hi = jnp.concatenate([p.hi, nhi], axis=-1)
+    dbl_lo = jnp.concatenate([p.lo, nlo], axis=-1)
+    rot_hi = rotate_plane(dbl_hi)[..., :N]
+    rot_lo = rotate_plane(dbl_lo)[..., :N]
+    return T.T64(rot_hi, rot_lo)
+
+
 # ---------------------------------------------------------------------------
 # external product (batched, byte-limb matmuls)
 
@@ -134,61 +240,144 @@ def _digit_bytes_count(base_log: int) -> int:
     return max(1, (base_log + 7) // 8)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def external_product_step(diff: T.T64, bsk_bytes_i: jax.Array,
-                          dummy, params_tuple, drop_limbs: int):
-    """One external product: GGSW_i x (M, k+1, N) GLWE -> (M, k+1, N) GLWE.
+def expand_bsk_kernel(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
+                      drop_limbs: int) -> jax.Array:
+    """GGSW byte limbs -> 1-D conv kernel for the external product.
 
-    diff: batched GLWE (M, k+1, N) T64
-    bsk_bytes_i: ((k+1)*l, k+1, 2N, 8) int8 for this step
+    bsk_bytes_i: ((k+1)*l, k+1, 2N, 8) int8 (balanced bytes of [b, -b]).
+    Returns (2N-1, (k+1)*l, (k+1)*(8-drop_limbs)) int8 where kernel
+    position p corresponds to polynomial offset (c - t) = p - (N-1), taken
+    mod 2N into the doubled/negated table — the negacyclic wrap needs no
+    sign bookkeeping.
+    """
+    rows = (k + 1) * levels
+    # XLA conv is cross-correlation: out[c] = sum_kx lhs[c + kx - (N-1)] *
+    # K[kx]; we need K[kx] = b~[(c - t) mod 2N] with t = c + kx - (N-1),
+    # i.e. K[kx] = b~[((N-1) - kx) mod 2N].
+    pidx = ((N - 1) - jnp.arange(2 * N - 1)) % (2 * N)
+    kern = bsk_bytes_i[:, :, pidx, drop_limbs:]      # (rows, k+1, 2N-1, L)
+    L = 8 - drop_limbs
+    return jnp.transpose(kern, (2, 0, 1, 3)).reshape(2 * N - 1, rows,
+                                                     (k + 1) * L)
+
+
+def toeplitz_from_doubled(dbl: jax.Array) -> jax.Array:
+    """(..., 2N) -> (..., N, N) negacyclic matrices T[t, c] = dbl[(c-t) % 2N].
+
+    Built with the tile/reshape trick (no gathers): for a length-(2N+1)
+    vector z with z[x] = dbl[x] (x < N) and z[y] = dbl[y-1] (y > N),
+    tiling z N times and reshaping to (N, 2N) yields rows shifted by one —
+    exactly the Toeplitz diagonals.  Pure broadcasts/copies, ~memory-speed.
+    """
+    *lead, twoN = dbl.shape
+    N = twoN // 2
+    Q = twoN + 1
+    zpad = jnp.zeros((*lead, 1), dbl.dtype)
+    z = jnp.concatenate([dbl[..., :N], zpad, dbl[..., N:]], axis=-1)  # (.., Q)
+    tiled = jnp.broadcast_to(z[..., None, :], (*lead, N, Q))
+    flat = tiled.reshape(*lead, N * Q)[..., :N * (Q - 1)]
+    return flat.reshape(*lead, N, Q - 1)[..., :N]
+
+
+def external_product_step_matmul(diff: T.T64, bsk_bytes_i: jax.Array,
+                                 params_tuple, drop_limbs: int):
+    """External product via tile/reshape Toeplitz + int8 MXU matmuls.
+
+    bsk_bytes_i: ((k+1)*l, k+1, 2N, 8) int8 balanced bytes of [b, -b].
+    Faster than the conv form when the (k+1)*(8-drop) output-feature count
+    is far below the 128-lane MXU width.
     """
     (blog, levels, k, N) = params_tuple
     M = diff.hi.shape[0]
     rows = (k + 1) * levels
     dbytes = _digit_bytes_count(blog)
 
-    # gadget decomposition: (levels, M, k+1, N) int32
-    digits = T.decompose(diff, blog, levels)
-    # reorder to (M, rows=(k+1)*l, N): row index r = j * levels + level
-    digits = jnp.transpose(digits, (1, 2, 0, 3)).reshape(M, rows, N)
-    dB = signed_byte_split(digits, dbytes)          # (dbytes, M, rows, N)
-    dB = dB.reshape(dbytes, M, rows * N)
+    digits = T.decompose(diff, blog, levels)     # (levels, M, k+1, N)
+    dB = signed_byte_split(digits, dbytes)       # (dbytes, levels, M, k+1, N)
+    # contraction layout (dbytes, M, rows*N), row-major r = j*levels + lev
+    dB = jnp.transpose(dB, (0, 2, 3, 1, 4)).reshape(dbytes, M, rows * N)
 
-    # negacyclic matrices: for output coeff c and digit coeff t the kernel
-    # entry is b~[(c - t) mod 2N].  idx: (N_t, N_c)
-    c = jnp.arange(N, dtype=jnp.int32)[None, :]
-    t = jnp.arange(N, dtype=jnp.int32)[:, None]
-    idx = (c - t) % (2 * N)                          # (N, N)
+    # Toeplitz blocks: (rows, k+1, L, N, N) -> (L, rows*N, (k+1)*N)
+    kept = bsk_bytes_i[..., drop_limbs:]          # (rows, k+1, 2N, L)
+    kept = jnp.moveaxis(kept, -1, 2)              # (rows, k+1, L, 2N)
+    blocks = toeplitz_from_doubled(kept)          # (rows, k+1, L, N, N)
+    mats = jnp.transpose(blocks, (2, 0, 3, 1, 4)).reshape(
+        8 - drop_limbs, rows * N, (k + 1) * N)
 
-    # bsk_bytes_i: (rows, k+1, 2N, 8) -> gather -> (rows, k+1, N_t, N_c, 8)
-    mat = jnp.take(bsk_bytes_i, idx, axis=2)
-    # -> contraction (rows*N_t) x output (k+1 * N_c) per limb
-    mat = jnp.transpose(mat, (4, 0, 2, 1, 3)).reshape(8, rows * N, (k + 1) * N)
-
-    # int8 matmuls per (digit byte u, key limb v), bucketed by s = u + v
     buckets: dict[int, jax.Array] = {}
     for u in range(dbytes):
-        for v in range(8):
-            s = u + v
-            if s >= 8 or v < drop_limbs:
+        for vi in range(8 - drop_limbs):
+            s = u + vi + drop_limbs
+            if s >= 8:
                 continue
-            prod = jax.lax.dot(
-                dB[u], mat[v], preferred_element_type=I32,
-            )                                        # (M, (k+1)*N)
-            buckets[s] = buckets.get(s, 0) + prod
+            prod = jax.lax.dot(dB[u], mats[vi], preferred_element_type=I32)
+            buckets[s] = buckets.get(s, 0) + prod  # (M, (k+1)*N)
 
-    shifts = sorted(buckets)
-    out = _combine_buckets([buckets[s] for s in shifts], shifts)
-    return T.T64(out.hi.reshape(M, k + 1, N), out.lo.reshape(M, k + 1, N))
+    acc = T.zeros((M, (k + 1) * N))
+    for s in sorted(buckets):
+        acc = T.add(acc, T.from_i32_shifted(buckets[s], 8 * s))
+    return T.T64(acc.hi.reshape(M, k + 1, N), acc.lo.reshape(M, k + 1, N))
 
 
-def cmux_accumulate(acc: T.T64, a_i: jax.Array, bsk_bytes_i: jax.Array,
+def external_product_step(diff: T.T64, bsk_kern: jax.Array,
+                          params_tuple, drop_limbs: int):
+    """One external product: GGSW_i x (M, k+1, N) GLWE -> (M, k+1, N) GLWE.
+
+    Computed as 1-D int8 convolutions on the MXU: the gadget digits of the
+    decomposed GLWE are the conv input (spatial = polynomial coefficient,
+    features = (k+1)*l rows per digit byte) and the GGSW byte limbs are the
+    shared kernel (from :func:`expand_bsk_kernel`).  Byte products land in
+    int32 buckets s = u + v and recombine into limb pairs mod 2^64 —
+    exact arithmetic, no N x N matrix materialization, no gathers.
+
+    diff: batched GLWE (M, k+1, N) T64
+    bsk_kern: (2N-1, (k+1)*l, (k+1)*(8-drop_limbs)) int8 for this step
+    """
+    (blog, levels, k, N) = params_tuple
+    M = diff.hi.shape[0]
+    rows = (k + 1) * levels
+    dbytes = _digit_bytes_count(blog)
+    L = 8 - drop_limbs
+
+    # gadget decomposition: (levels, M, k+1, N) int32.  Byte-split while N
+    # is still the trailing (lane) axis, then transpose once into the conv's
+    # (M, W=N, C=rows) layout with row index r = j*levels + lev.
+    digits = T.decompose(diff, blog, levels)
+    dB = signed_byte_split(digits, dbytes)       # (dbytes, levels, M, k+1, N)
+    dB = jnp.transpose(dB, (0, 2, 4, 3, 1)).reshape(dbytes, M, N, rows)
+
+    # int32 buckets indexed by byte scale s = u + v (s >= 8 wraps out).
+    # The conv emits feature-major (M, C, N) so every subsequent
+    # elementwise op keeps N=poly on the 128-lane axis (a 2-wide trailing
+    # dim would waste 64x of the VPU).
+    buckets: dict[int, jax.Array] = {}
+    for u in range(dbytes):
+        o = jax.lax.conv_general_dilated(
+            dB[u], bsk_kern,
+            window_strides=(1,),
+            padding=((N - 1, N - 1),),
+            dimension_numbers=("NWC", "WIO", "NCW"),
+            preferred_element_type=I32,
+        )                                            # (M, (k+1)*L, N)
+        o = o.reshape(M, k + 1, L, N)
+        for vi in range(L):
+            s = u + vi + drop_limbs
+            if s >= 8:
+                continue
+            buckets[s] = buckets.get(s, 0) + o[:, :, vi]
+
+    acc = T.zeros((M, k + 1, N))
+    for s in sorted(buckets):
+        acc = T.add(acc, T.from_i32_shifted(buckets[s], 8 * s))
+    return acc
+
+
+def cmux_accumulate(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
                     params_tuple, drop_limbs: int) -> T.T64:
     """acc <- acc + GGSW_i x (X^{a_i} acc - acc)  (the CMUX of blind rotate)."""
-    rot = negacyclic_rotate(acc, a_i[:, None])
+    rot = negacyclic_rotate_bits(acc, a_i)
     diff = T.sub(rot, acc)
-    ext = external_product_step(diff, bsk_bytes_i, None, params_tuple,
-                                drop_limbs)
+    ext = external_product_step(diff, bsk_kern_i, params_tuple, drop_limbs)
     return T.add(acc, ext)
 
 
@@ -217,7 +406,7 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
     pt = (params.pbs_base_log, params.pbs_levels, k, N)
 
     # acc init: mask = 0, body = X^{-b} * v
-    body = negacyclic_rotate(test_poly, (U32(2 * N) - ct_b) % U32(2 * N))
+    body = negacyclic_rotate_bits(test_poly, (U32(2 * N) - ct_b) % U32(2 * N))
     zero_mask = T.zeros((M, k, N))
     acc = T.T64(jnp.concatenate([zero_mask.hi, body.hi[:, None]], axis=1),
                 jnp.concatenate([zero_mask.lo, body.lo[:, None]], axis=1))
@@ -225,7 +414,8 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
     def step(carry, inputs):
         acc = carry
         a_col, bsk_i = inputs
-        new = cmux_accumulate(acc, a_col, bsk_i, pt, drop_limbs)
+        kern = expand_bsk_kernel(bsk_i, k, params.pbs_levels, N, drop_limbs)
+        new = cmux_accumulate(acc, a_col, kern, pt, drop_limbs)
         return new, None
 
     a_cols = jnp.transpose(ct_a, (1, 0))             # (n, M)
@@ -313,9 +503,8 @@ def make_test_polys(tables: jax.Array, params: TFHEParams,
     expanded = jnp.repeat(tables, reps, axis=1)
     vals = T.from_i32_shifted(expanded, out_delta_log2)
     # pre-rotate by +reps/2 (half window) to center windows on indices:
-    # p <- X^{-(reps/2)} p  implemented as rotate by 2N - reps/2.
-    amount = jnp.full((M,), 2 * N - reps // 2, dtype=U32)
-    return negacyclic_rotate(vals, amount)
+    # p <- X^{-(reps/2)} p  implemented as a static roll by 2N - reps/2.
+    return static_negacyclic_roll(vals, 2 * N - reps // 2)
 
 
 @partial(jax.jit, static_argnames=("params", "out_delta_log2", "drop_limbs"))

@@ -71,7 +71,8 @@ def test_external_product_selects(material):
     pt = (PAR.pbs_base_log, PAR.pbs_levels, k, N)
     diff = T.from_u64(glwe[None])                     # (1, k+1, N)
     for i, bit in [(0, int(ck.lwe_key[0])), (1, int(ck.lwe_key[1]))]:
-        out = P.external_product_step(diff, dsk.bsk_bytes[i], None, pt, 0)
+        kern = P.expand_bsk_kernel(dsk.bsk_bytes[i], k, PAR.pbs_levels, N, 0)
+        out = P.external_product_step(diff, kern, pt, 0)
         res = T.to_u64(out)[0]
         phase = K.decrypt_glwe(ck, res)
         got = decode(phase, 4)
