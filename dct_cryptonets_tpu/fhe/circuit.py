@@ -183,3 +183,49 @@ def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
 
 
 simulate_jit = partial(jax.jit, static_argnums=0)(simulate)
+
+
+def simulate_noisy(circuit: Circuit, x: jax.Array, key: jax.Array,
+                   p_slip: float) -> jax.Array:
+    """Integer simulation with the TFHE statistical fault model injected.
+
+    Each PBS has probability ~p_error of landing one table window off
+    (mod-switch/keyswitch noise crossing a window boundary; the reference
+    exposes this as the ``p_error`` knob, io_utils.py:83).  This simulator
+    flips every TLU index by +-1 with probability ``p_slip``, giving a fast
+    statistical preview of encrypted-accuracy degradation without running
+    ciphertexts — the same role Concrete's simulator plays for the
+    reference's reliability analysis (homomorphic_eval.py:366-440).
+    """
+    env = {}
+    out = None
+    for op in circuit.ops:
+        if isinstance(op, QuantIn):
+            qmax = 2 ** (op.bits - 1) - 1
+            qmin = -(2 ** (op.bits - 1))
+            env[op.out] = jnp.clip(jnp.round(x / op.scale), qmin,
+                                   qmax).astype(jnp.int32)
+        elif isinstance(op, Conv):
+            env[op.out] = _conv_int(env[op.x], op.w, op.stride, op.padding)
+        elif isinstance(op, PoolSum):
+            env[op.out] = _pool_sum(env[op.x], op.k)
+        elif isinstance(op, AddScaled):
+            env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
+        elif isinstance(op, Tlu):
+            acc = env[op.x]
+            u = tlu_index(acc, op.spec)
+            key, k1, k2 = jax.random.split(key, 3)
+            slip = jax.random.bernoulli(k1, p_slip, u.shape)
+            direction = jax.random.rademacher(k2, u.shape, jnp.int32) \
+                if hasattr(jax.random, "rademacher") else \
+                (jax.random.bernoulli(k2, 0.5, u.shape).astype(jnp.int32) * 2 - 1)
+            u = jnp.clip(u + jnp.where(slip, direction, 0), 0,
+                         (1 << op.spec.in_bits) - 1)
+            table = jnp.asarray(op.table)
+            c_idx = jnp.arange(table.shape[0])
+            env[op.out] = table[c_idx[None, None, None, :], u]
+        elif isinstance(op, Output):
+            y = env[op.x]
+            out = y.reshape(y.shape[0], -1).astype(jnp.float32) * op.scale
+    assert out is not None
+    return out

@@ -186,6 +186,15 @@ def main(argv=None):
     state = replicate(mesh, state)
     key = jax.random.key(1234)
 
+    if not cfg.dct_status:
+        # example-image grid (reference train.py:394-395 plots only for
+        # the RGB path)
+        from .viz import plot_examples
+        plot_examples(ckpt_dir, trainset.images[train_idx[:64]],
+                      trainset.labels[train_idx[:64]], trainset.classes)
+
+    log_path = os.path.join(ckpt_dir, "train_log.jsonl")
+
     for epoch in range(start_epoch, cfg.stop_epoch):
         lr = step_decay_lr(cfg.lr, cfg.schedule, cfg.gamma, epoch)
         if cfg.schedule and epoch + 1 in cfg.schedule:
@@ -238,6 +247,17 @@ def main(argv=None):
             save_ckpt(os.path.join(ckpt_dir, "best.tar"), epoch, params,
                       state, opt_state, v1.avg, v5.avg)
 
+        # structured JSONL metrics (auxiliary observability; the reference
+        # only prints to stdout under nohup)
+        import json as _json
+        with open(log_path, "a") as lf:
+            lf.write(_json.dumps({
+                "epoch": epoch, "lr": lr,
+                "train_loss": round(tl.avg, 5), "train_top1": round(t1.avg, 3),
+                "val_loss": round(vl.avg, 5), "val_top1": round(v1.avg, 3),
+                "val_top5": round(v5.avg, 3),
+            }) + "\n")
+
         if stopper(vl.avg):
             print(f"Early stopping at epoch: {epoch}")
             break
@@ -249,15 +269,24 @@ def main(argv=None):
         params, state = ck["state"]
         print(f"Loaded best model {best} (epoch {ck['epoch']})")
     correct = total = 0
+    preds_all, labels_all = [], []
     test_idx = np.arange(len(testset))
     for images, labels in pipeline.batches(
             testset, test_idx, max(cfg.test_batch_size, 2), shuffle=False,
             drop_remainder=False):
         _, logits = eval_step(params, state, jnp.asarray(images),
                               jnp.asarray(labels.astype(np.int32)))
-        correct += int((np.argmax(np.asarray(logits), 1) == labels).sum())
+        preds = np.argmax(np.asarray(logits), 1)
+        correct += int((preds == labels).sum())
         total += len(labels)
+        preds_all.append(preds)
+        labels_all.append(labels)
     print(f"Test Acc: {correct}/{total} ({100.0*correct/max(total,1):.2f}%)")
+    if cfg.dataset in ("cifar10", "Imagenette", "synthetic"):
+        # confusion-matrix heatmap (reference train.py:418-419)
+        from .viz import confusion_heatmap
+        confusion_heatmap(ckpt_dir, np.concatenate(labels_all),
+                          np.concatenate(preds_all), testset.classes)
     print("Done")
 
 
