@@ -84,7 +84,9 @@ def main():
     from dct_cryptonets_tpu.fhe.pbs import bootstrap
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    M = int(os.environ.get("BENCH_M", 4096 if on_tpu else 64))
+    # NOTE: M=2048+ has triggered TPU worker faults through the axon tunnel;
+    # 1024 is the validated batch size on this chip.
+    M = int(os.environ.get("BENCH_M", 1024 if on_tpu else 64))
     drop = int(os.environ.get("BENCH_DROP_LIMBS", 3))
 
     circ = build_circuit()

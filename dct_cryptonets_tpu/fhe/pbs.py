@@ -319,6 +319,60 @@ def external_product_step_matmul(diff: T.T64, bsk_bytes_i: jax.Array,
     return T.T64(acc.hi.reshape(M, k + 1, N), acc.lo.reshape(M, k + 1, N))
 
 
+S2D = 16  # space-to-depth factor for the external-product convolution
+
+
+def expand_bsk_kernel_s2d(bsk_bytes_i: jax.Array, k: int, levels: int,
+                          N: int, drop_limbs: int) -> jax.Array:
+    """GGSW byte limbs -> strided space-to-depth conv kernel.
+
+    A plain negacyclic conv has only (k+1)*(8-drop) output features — far
+    below the MXU's 128 lanes, wasting ~90% of the matrix unit.  Folding
+    S2D=16 consecutive output positions into channels (stride-16 conv)
+    lifts f_out to 16*(k+1)*L >= 128.
+
+    Returns (W, rows, S2D*(k+1)*L) int8 with W = 2N - 1 + S2D - 1; output
+    channel (p, j, v) at coarse position c0 is coefficient c = c0*16 + p:
+    K[w, r, (p, j, v)] = b~[r, j, (N - 1 + p - w) mod 2N, v].
+    """
+    rows = (k + 1) * levels
+    L = 8 - drop_limbs
+    W = 2 * N - 1 + (S2D - 1)
+    w_idx = jnp.arange(W)
+    p_idx = jnp.arange(S2D)
+    pos = ((N - 1) + p_idx[:, None] - w_idx[None, :]) % (2 * N)  # (S2D, W)
+    kern = bsk_bytes_i[:, :, pos, drop_limbs:]   # (rows, k+1, S2D, W, L)
+    # -> (W, rows, S2D, k+1, L) -> (W, rows, S2D*(k+1)*L)
+    kern = jnp.transpose(kern, (3, 0, 2, 1, 4))
+    return kern.reshape(W, rows, S2D * (k + 1) * L)
+
+
+def conv_external_s2d(dB_u: jax.Array, kern: jax.Array, k: int, N: int,
+                      drop_limbs: int) -> jax.Array:
+    """One digit-byte plane through the space-to-depth external product.
+
+    dB_u: (M, rows, N) int8; kern from :func:`expand_bsk_kernel_s2d`.
+    Returns (M, (k+1)*L, N) int32 in the same layout as the plain conv.
+    """
+    M = dB_u.shape[0]
+    L = 8 - drop_limbs
+    W = kern.shape[0]
+    # output size (N + pad_lo + pad_hi - W)//S2D + 1 == N//S2D
+    # -> pad_hi = W - pad_lo - S2D = N - 1 (symmetric)
+    pad_lo = N - 1
+    pad_hi = W - pad_lo - S2D
+    o = jax.lax.conv_general_dilated(
+        dB_u, kern,
+        window_strides=(S2D,),
+        padding=((pad_lo, pad_hi),),
+        dimension_numbers=("NCW", "WIO", "NCW"),
+        preferred_element_type=I32,
+    )                                            # (M, S2D*(k+1)*L, N/S2D)
+    o = o.reshape(M, S2D, (k + 1) * L, N // S2D)
+    o = jnp.transpose(o, (0, 2, 3, 1)).reshape(M, (k + 1) * L, N)
+    return o
+
+
 def external_product_step(diff: T.T64, bsk_kern: jax.Array,
                           params_tuple, drop_limbs: int):
     """One external product: GGSW_i x (M, k+1, N) GLWE -> (M, k+1, N) GLWE.
@@ -341,10 +395,10 @@ def external_product_step(diff: T.T64, bsk_kern: jax.Array,
 
     # gadget decomposition: (levels, M, k+1, N) int32.  Byte-split while N
     # is still the trailing (lane) axis, then transpose once into the conv's
-    # (M, W=N, C=rows) layout with row index r = j*levels + lev.
+    # channel-major (M, C=rows, W=N) layout with row index r = j*levels+lev.
     digits = T.decompose(diff, blog, levels)
     dB = signed_byte_split(digits, dbytes)       # (dbytes, levels, M, k+1, N)
-    dB = jnp.transpose(dB, (0, 2, 4, 3, 1)).reshape(dbytes, M, N, rows)
+    dB = jnp.transpose(dB, (0, 2, 3, 1, 4)).reshape(dbytes, M, rows, N)
 
     # int32 buckets indexed by byte scale s = u + v (s >= 8 wraps out).
     # The conv emits feature-major (M, C, N) so every subsequent
@@ -356,7 +410,7 @@ def external_product_step(diff: T.T64, bsk_kern: jax.Array,
             dB[u], bsk_kern,
             window_strides=(1,),
             padding=((N - 1, N - 1),),
-            dimension_numbers=("NWC", "WIO", "NCW"),
+            dimension_numbers=("NCW", "WIO", "NCW"),
             preferred_element_type=I32,
         )                                            # (M, (k+1)*L, N)
         o = o.reshape(M, k + 1, L, N)
@@ -381,6 +435,26 @@ def cmux_accumulate(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
     return T.add(acc, ext)
 
 
+def cmux_accumulate_pallas(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
+                           params_tuple, drop_limbs: int) -> T.T64:
+    """CMUX with the elementwise stages fused in Pallas VMEM kernels and
+    the external product as space-to-depth int8 MXU convs:
+    rotate+diff+decompose+byte-split in one pass, strided convs with
+    >=128 output features, bucket-combine+acc-update in one pass.
+
+    bsk_kern_i must come from :func:`expand_bsk_kernel_s2d`.
+    """
+    from .pallas_kernels import combine_accumulate, rotate_decompose
+    (blog, levels, k, N) = params_tuple
+    dbytes = _digit_bytes_count(blog)
+    assert dbytes == 2, "pallas CMUX kernels assume 2-byte gadget digits"
+    dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes)
+    o0 = conv_external_s2d(dB[0], bsk_kern_i, k, N, drop_limbs)
+    o1 = conv_external_s2d(dB[1], bsk_kern_i, k, N, drop_limbs)
+    nhi, nlo = combine_accumulate(o0, o1, acc.hi, acc.lo, drop_limbs)
+    return T.T64(nhi, nlo)
+
+
 # ---------------------------------------------------------------------------
 # blind rotate + sample extract + keyswitch
 
@@ -393,7 +467,7 @@ def mod_switch(ct_t64: T.T64, N: int) -> jax.Array:
 
 def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
                  bsk_bytes: jax.Array, params: TFHEParams,
-                 drop_limbs: int = 0) -> T.T64:
+                 drop_limbs: int = 0, use_pallas: bool | None = None) -> T.T64:
     """Batched blind rotate.
 
     test_poly: (M, N) T64 — per-sample lookup polynomials
@@ -411,11 +485,17 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
     acc = T.T64(jnp.concatenate([zero_mask.hi, body.hi[:, None]], axis=1),
                 jnp.concatenate([zero_mask.lo, body.lo[:, None]], axis=1))
 
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() != "cpu"
+                      and _digit_bytes_count(params.pbs_base_log) == 2)
+    cmux = cmux_accumulate_pallas if use_pallas else cmux_accumulate
+    expand = expand_bsk_kernel_s2d if use_pallas else expand_bsk_kernel
+
     def step(carry, inputs):
         acc = carry
         a_col, bsk_i = inputs
-        kern = expand_bsk_kernel(bsk_i, k, params.pbs_levels, N, drop_limbs)
-        new = cmux_accumulate(acc, a_col, kern, pt, drop_limbs)
+        kern = expand(bsk_i, k, params.pbs_levels, N, drop_limbs)
+        new = cmux(acc, a_col, kern, pt, drop_limbs)
         return new, None
 
     a_cols = jnp.transpose(ct_a, (1, 0))             # (n, M)
