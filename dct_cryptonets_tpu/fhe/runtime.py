@@ -136,31 +136,49 @@ class CompiledModule:
 
     # -- server side -------------------------------------------------------
     def run_encrypted(self, ct_in: T.T64, drop_limbs: int = 0) -> T.T64:
+        """Server-side evaluation, with per-stage wall-clock accounting
+        (the reference only reports end-to-end FHE latency; we also track
+        levelled vs PBS time and a PBS/s counter — SURVEY §5)."""
         env = {}
         pbs_count = 0
         t0 = time.time()
+        t_lvl = t_pbs = 0.0
         for op in self.circuit.ops:
+            t_op = time.time()
             if isinstance(op, QuantIn):
                 env[op.out] = ct_in
             elif isinstance(op, Conv):
                 env[op.out] = _conv_limbs(env[op.x], op.w, op.stride,
                                           op.padding)
+                jax.block_until_ready(env[op.out].hi)
+                t_lvl += time.time() - t_op
             elif isinstance(op, PoolSum):
                 env[op.out] = _pool_limbs(env[op.x], op.k)
+                t_lvl += time.time() - t_op
             elif isinstance(op, AddScaled):
                 a = T.scalar_mul(env[op.a], op.ca * (1 << op.ja))
                 b = T.scalar_mul(env[op.b], op.cb * (1 << op.jb))
                 env[op.out] = T.add(a, b)
+                t_lvl += time.time() - t_op
             elif isinstance(op, Tlu):
                 env[op.out] = self._run_tlu(env[op.x], op, drop_limbs)
-                pbs_count += int(np.prod(env[op.x].hi.shape)) // \
-                    env[op.x].hi.shape[1]
+                jax.block_until_ready(env[op.out].hi)
+                pbs_count += int(np.prod(env[op.x].hi.shape[:1] +
+                                         env[op.x].hi.shape[2:]))
+                t_pbs += time.time() - t_op
             elif isinstance(op, Output):
                 result = env[op.x]
             else:
                 raise TypeError(op)
-        self.stats["pbs_per_sample"] = self.circuit.num_pbs
-        self.stats["execute_time"] = time.time() - t0
+        dt = time.time() - t0
+        self.stats.update({
+            "pbs_per_sample": self.circuit.num_pbs,
+            "pbs_executed": pbs_count,
+            "execute_time": dt,
+            "levelled_time": t_lvl,
+            "pbs_time": t_pbs,
+            "pbs_per_sec": pbs_count / t_pbs if t_pbs > 0 else None,
+        })
         return result
 
     def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int) -> T.T64:
