@@ -185,6 +185,40 @@ def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
 simulate_jit = partial(jax.jit, static_argnums=0)(simulate)
 
 
+def collect_acc_ranges(circuit: Circuit, x: jax.Array) -> dict:
+    """Run the integer simulation and record max |value| of every
+    accumulator tensor (Conv/PoolSum/AddScaled outputs).
+
+    Used for calibration-based bit budgets (Concrete derives its circuit
+    bit widths from calibration data the same way; worst-case weight bounds
+    overflow 16 bits for the deeper reference nets)."""
+    env = {}
+    ranges = {}
+    for op in circuit.ops:
+        if isinstance(op, QuantIn):
+            qmax = 2 ** (op.bits - 1) - 1
+            qmin = -(2 ** (op.bits - 1))
+            env[op.out] = jnp.clip(jnp.round(x / op.scale), qmin,
+                                   qmax).astype(jnp.int32)
+        elif isinstance(op, Conv):
+            env[op.out] = _conv_int(env[op.x], op.w, op.stride, op.padding)
+            ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+        elif isinstance(op, PoolSum):
+            env[op.out] = _pool_sum(env[op.x], op.k)
+            ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+        elif isinstance(op, AddScaled):
+            env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
+            ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+        elif isinstance(op, Tlu):
+            u = tlu_index(env[op.x], op.spec)
+            table = jnp.asarray(op.table)
+            c_idx = jnp.arange(table.shape[0])
+            env[op.out] = table[c_idx[None, None, None, :], u]
+        elif isinstance(op, Output):
+            pass
+    return ranges
+
+
 def simulate_noisy(circuit: Circuit, x: jax.Array, key: jax.Array,
                    p_slip: float) -> jax.Array:
     """Integer simulation with the TFHE statistical fault model injected.

@@ -97,8 +97,33 @@ class _TluSite:
 
 def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
           rounding_threshold_bits: int = 6,
-          calib_absmax: float | None = None) -> Circuit:
-    """Compile trained (params, state) of a quantized model into a Circuit."""
+          calib_absmax: float | None = None,
+          calib_data=None, range_margin: float = 2.0) -> Circuit:
+    """Compile trained (params, state) of a quantized model into a Circuit.
+
+    With ``calib_data`` (a float input batch), accumulator bit budgets come
+    from observed calibration ranges (x ``range_margin``) instead of
+    worst-case weight bounds — like Concrete's calibration, and required
+    for the deeper nets whose worst-case bounds exceed 16 bits.
+    """
+    circ = _lower_once(params, state, spec, n_bits=n_bits,
+                       rounding_threshold_bits=rounding_threshold_bits,
+                       calib_absmax=calib_absmax)
+    if calib_data is None:
+        return circ
+    from .circuit import collect_acc_ranges
+    import jax.numpy as jnp
+    ranges = collect_acc_ranges(circ, jnp.asarray(calib_data))
+    bounds = {name: max(1, int(v * range_margin)) for name, v in ranges.items()}
+    return _lower_once(params, state, spec, n_bits=n_bits,
+                       rounding_threshold_bits=rounding_threshold_bits,
+                       calib_absmax=calib_absmax, bounds_override=bounds)
+
+
+def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
+                rounding_threshold_bits: int = 6,
+                calib_absmax: float | None = None,
+                bounds_override: dict | None = None) -> Circuit:
     assert spec.quantized, "lower() expects a QAT model"
     st = spec.stem
     if st.pool1_kernel is not None:
@@ -134,16 +159,21 @@ def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
         n_budget[acc_name] = _bits_for(bound)
         return _Tensor(out, shape, lo, hi, s_out)
 
+    def bound_of(name: str, worst: int) -> int:
+        if bounds_override and name in bounds_override:
+            return min(worst, bounds_override[name])
+        return worst
+
     def conv_tlu(x: _Tensor, w, bn_p, bn_s, stride, padding, *,
                  fused_relu_scale=None, out_scale, out_relu=False):
         """Conv -> BN -> (fused relu-quant ->) final quant TLU."""
         w_int, s_w = _quantize_weight(w, bw)
-        bound = conv_bound(w_int, x)
         kh = w_int.shape[0]
         oh = (x.shape[0] + 2 * padding - kh) // stride + 1
         ow = (x.shape[1] + 2 * padding - kh) // stride + 1
         cout = w_int.shape[-1]
         acc = fresh("acc")
+        bound = bound_of(acc, conv_bound(w_int, x))
         ops.append(Conv(x.name, w_int, stride, padding, acc))
         shapes[acc] = (oh, ow, cout)
 
@@ -214,8 +244,8 @@ def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
         v_name = fresh("v")
         ops.append(AddScaled(a2.name, ca, sc.name, cb, 0, 0, v_name))
         shapes[v_name] = a2.shape
-        v_bound = max(abs(ca * a2.lo + cb * sc.lo),
-                      abs(ca * a2.hi + cb * sc.hi), 1)
+        v_bound = bound_of(v_name, max(abs(ca * a2.lo + cb * sc.lo),
+                                       abs(ca * a2.hi + cb * sc.hi), 1))
 
         s_r2 = scale_of(bp["relu2"])
         lo2, hi2 = act_qrange(bw, signed=False, relu=True)
@@ -229,7 +259,7 @@ def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
     ops.append(PoolSum(h.name, kp, p_name))
     oh, ow = h.shape[0] // kp, h.shape[1] // kp
     shapes[p_name] = (oh, ow, h.shape[-1])
-    p_bound = kp * kp * h.absmax
+    p_bound = bound_of(p_name, kp * kp * h.absmax)
     s_pool = scale_of(params["head"]["quant_pool"])
     lo_p, hi_p = act_qrange(bw, signed=True, relu=False)
     inv = h.scale / (kp * kp)

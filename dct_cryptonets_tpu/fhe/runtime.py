@@ -244,18 +244,20 @@ class CompiledModule:
 def compile_qat_model(params, state, spec, *, n_bits: int = 5,
                       rounding_threshold_bits: int = 6,
                       calib_absmax: float | None = None,
+                      calib_data=None,
                       tfhe_params: TFHEParams | None = None,
                       pbs_batch: int = 4096) -> CompiledModule:
     """End-to-end compile: QAT model -> circuit -> executable module.
 
     Mirrors ``compile_brevitas_qat_model(model.module.feature, calib_data,
     rounding_threshold_bits, n_bits, p_error)`` (reference
-    homomorphic_eval.py:276-285).
+    homomorphic_eval.py:276-285); ``calib_data`` switches accumulator bit
+    budgets to calibration-derived ranges as Concrete does.
     """
     from .compiler import lower
     circ = lower(params, state, spec, n_bits=n_bits,
                  rounding_threshold_bits=rounding_threshold_bits,
-                 calib_absmax=calib_absmax)
+                 calib_absmax=calib_absmax, calib_data=calib_data)
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
     p = tfhe_params or params_for_precision(max_r)
     return CompiledModule(circ, p, pbs_batch=pbs_batch)

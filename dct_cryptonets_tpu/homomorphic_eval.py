@@ -103,12 +103,17 @@ def main(argv=None):
         _, _, state = forward(params, state,
                               _ingest(calib_imgs, codec_cfg), spec, train=True)
 
-    # compile trunk -> FHE circuit (classifier stays clear)
+    # compile trunk -> FHE circuit (classifier stays clear); the first
+    # calib batch drives accumulator-range calibration
+    # (reference homomorphic_eval.py:258-261)
     print("\nCompiling FHE Model...")
+    calib_x = np.asarray(_ingest(trainset.images[:cfg.calib_batch_size],
+                                 codec_cfg))
     t = time.time()
     module = compile_qat_model(
         params, state, spec, n_bits=cfg.n_bits,
         rounding_threshold_bits=cfg.rounding_threshold_bits,
+        calib_data=calib_x,
         pbs_batch=cfg.pbs_batch)
     print(f"Time for FHE compilation {time.time()-t:.2f}")
 

@@ -1,0 +1,72 @@
+"""Compiler coverage across the reference model configurations."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dct_cryptonets_tpu.models import (build_spec, calibrate_scales, forward,
+                                       init_model)
+from dct_cryptonets_tpu.fhe.compiler import lower
+from dct_cryptonets_tpu.fhe.circuit import Conv, Tlu, simulate
+from dct_cryptonets_tpu.fhe.params import params_for_precision
+
+
+def _prep(spec, B=4):
+    params, state = init_model(jax.random.key(0), spec)
+    x = jax.random.normal(jax.random.key(1), (B, spec.img_size,
+                                              spec.img_size, spec.in_channels))
+    _, _, state = forward(params, state, x, spec, train=True)
+    params = calibrate_scales(params, state, x, spec)
+    return params, state, x
+
+
+def test_resnet20_cifar_dct_lowering():
+    """Flagship: CIFAR-10 ResNet-20 DCT 24x16^2, r=6 (reference headline)."""
+    spec = build_spec("ResNet20qat", in_channels=24, img_size=16,
+                      num_classes=10, bit_width=4)
+    params, state, x = _prep(spec)
+    circ = lower(params, state, spec, rounding_threshold_bits=6)
+    assert circ.max_bit_width() <= 16          # homomorphic_eval.py:301-306
+    # stem TLU + 9 blocks (3 TLUs each + 1 extra on the two transition
+    # blocks' conv shortcuts) + head pool TLU
+    tlus = [op for op in circ.ops if isinstance(op, Tlu)]
+    assert len(tlus) == 1 + 9 * 3 + 2 + 1
+    feats = simulate(circ, x)
+    assert feats.shape == (4, 64)
+    # TLU precision must fit the r=6 parameter preset
+    max_r = max(op.spec.in_bits for op in tlus)
+    assert params_for_precision(max_r).message_bits >= max_r
+
+
+@pytest.mark.slow
+def test_resnet18_imagenet_dct_lowering():
+    """ImageNet config: ResNet-18 DCT 64x56^2, r=7 (reference README.md:92).
+
+    Needs calibration-based accumulator budgets — worst-case bounds for
+    3x3x512 int5 convs exceed 16 bits (Concrete hits the same and also
+    calibrates)."""
+    spec = build_spec("ResNet18qat", in_channels=64, img_size=56,
+                      num_classes=1000, bit_width=5)
+    params, state, x = _prep(spec, B=2)
+    circ = lower(params, state, spec, rounding_threshold_bits=7,
+                 calib_data=x)
+    assert circ.max_bit_width() <= 16
+    tlus = [op for op in circ.ops if isinstance(op, Tlu)]
+    # stem (no relu1 for 64_64_56) + 8 blocks (3 TLUs + shortcut TLU on the
+    # three transition blocks) + head
+    assert len(tlus) == 1 + 8 * 3 + 3 + 1
+    assert max(op.spec.in_bits for op in tlus) <= 7
+    feats = simulate(circ, x)
+    assert feats.shape == (2, 512)
+    assert circ.num_pbs > 500_000  # deeper net, many more bootstraps
+
+
+def test_weights_are_narrow_range_int():
+    spec = build_spec("ResNet20qat", in_channels=24, img_size=16)
+    params, state, _ = _prep(spec)
+    circ = lower(params, state, spec)
+    for op in circ.ops:
+        if isinstance(op, Conv):
+            qmax = 2 ** (spec.bit_width - 1) - 1
+            assert op.w.dtype == np.int32
+            assert op.w.min() >= -qmax and op.w.max() <= qmax
