@@ -71,6 +71,24 @@ class PoolSum:
 
 
 @dataclass
+class Window:
+    """Strided spatially-shifted view with zero padding (levelled).
+
+    out[i, j] = x[i*stride + dy - pad, j*stride + dx - pad]  (0 outside)
+    Used to expand maxpool into pairwise maxes (max(a,b) = a + relu(b-a),
+    one PBS per pair) for the RGB 7x7-stem topologies.
+    """
+    x: str
+    dy: int
+    dx: int
+    stride: int
+    pad: int
+    out_h: int
+    out_w: int
+    out: str
+
+
+@dataclass
 class AddScaled:
     a: str
     ca: int               # simulator multiplier for a
@@ -138,6 +156,15 @@ def _pool_sum(x, k):
     return jnp.round(y).astype(jnp.int32)
 
 
+def _window(x, op: "Window"):
+    """Strided shifted view with zero padding; x: (B, H, W, C) int."""
+    p = op.pad
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    s = op.stride
+    return xp[:, op.dy:op.dy + op.out_h * s:s,
+              op.dx:op.dx + op.out_w * s:s, :]
+
+
 def tlu_index(acc: jax.Array, spec: TluSpec) -> jax.Array:
     """The canonical rounded-index computation (shared with the runtime)."""
     if spec.shift > 0:
@@ -164,6 +191,8 @@ def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
             env[op.out] = _conv_int(env[op.x], op.w, op.stride, op.padding)
         elif isinstance(op, PoolSum):
             env[op.out] = _pool_sum(env[op.x], op.k)
+        elif isinstance(op, Window):
+            env[op.out] = _window(env[op.x], op)
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
         elif isinstance(op, Tlu):
@@ -206,6 +235,8 @@ def collect_acc_ranges(circuit: Circuit, x: jax.Array) -> dict:
         elif isinstance(op, PoolSum):
             env[op.out] = _pool_sum(env[op.x], op.k)
             ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+        elif isinstance(op, Window):
+            env[op.out] = _window(env[op.x], op)
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
             ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
@@ -243,6 +274,8 @@ def simulate_noisy(circuit: Circuit, x: jax.Array, key: jax.Array,
             env[op.out] = _conv_int(env[op.x], op.w, op.stride, op.padding)
         elif isinstance(op, PoolSum):
             env[op.out] = _pool_sum(env[op.x], op.k)
+        elif isinstance(op, Window):
+            env[op.out] = _window(env[op.x], op)
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
         elif isinstance(op, Tlu):

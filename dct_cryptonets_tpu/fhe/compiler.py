@@ -39,7 +39,7 @@ import numpy as np
 from ..models.resnet import ModelSpec
 from ..ops.quant import act_qrange
 from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Tlu, TluSpec)
+                      Tlu, TluSpec, Window)
 
 ADD_MULT_BITS = 6   # residual-add scale-unification multiplier precision
 
@@ -126,9 +126,6 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
                 bounds_override: dict | None = None) -> Circuit:
     assert spec.quantized, "lower() expects a QAT model"
     st = spec.stem
-    if st.pool1_kernel is not None:
-        raise NotImplementedError(
-            "maxpool stems (RGB 224^2 topology) not yet lowered")
     bw = spec.bit_width
     r = rounding_threshold_bits
 
@@ -210,12 +207,62 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
     qin = QuantIn(s_in, in_bits, 0, "x0")
     ops.append(qin)
 
-    # ---- stem: conv1 -> BN -> (QuantReLU fused) -> QuantIdentity
+    def maxpool_expand(xin: _Tensor, k: int, stride: int, pad: int) -> _Tensor:
+        """MaxPool2d(k, stride, pad) as pairwise maxes:
+        max(a, b) = a + relu(b - a) — one PBS per pair per site
+        (Concrete lowers torch MaxPool the same way).  Inputs must be
+        non-negative (they are: the stem QuantReLU precedes pool1,
+        reference backbone.py:248-259) so zero padding is max-neutral."""
+        oh = (xin.shape[0] + 2 * pad - k) // stride + 1
+        ow = (xin.shape[1] + 2 * pad - k) // stride + 1
+        cout = xin.shape[-1]
+        assert xin.lo >= 0, "maxpool expansion requires non-negative inputs"
+
+        def view(dy, dx):
+            nm = fresh("w")
+            ops.append(Window(xin.name, dy, dx, stride, pad, oh, ow, nm))
+            shapes[nm] = (oh, ow, cout)
+            return _Tensor(nm, (oh, ow, cout), xin.lo, xin.hi, xin.scale)
+
+        taps = [(dy, dx) for dy in range(k) for dx in range(k)]
+        cur = view(*taps[0])
+        for dy, dx in taps[1:]:
+            t = view(dy, dx)
+            d_name = fresh("v")
+            ops.append(AddScaled(t.name, 1, cur.name, -1, 0, 0, d_name))
+            shapes[d_name] = (oh, ow, cout)
+            d_bound = bound_of(d_name, max(xin.hi, 1))
+            # relu TLU at the input scale: table[u] = max(u, 0)
+            r = add_site(d_name, (oh, ow, cout), d_bound, cout,
+                         lambda c, a, s=xin.scale: s * a + 0.0 * c,
+                         xin.scale, 0, xin.hi)
+            m_name = fresh("v")
+            ops.append(AddScaled(cur.name, 1, r.name, 1, 0, 0, m_name))
+            shapes[m_name] = (oh, ow, cout)
+            cur = _Tensor(m_name, (oh, ow, cout), 0, xin.hi, xin.scale)
+        return cur
+
+    # ---- stem: conv1 -> BN -> (QuantReLU) -> (maxpool) -> QuantIdentity
     relu_s = scale_of(sp["relu1"]) if st.relu1 else None
-    h = conv_tlu(x, np.asarray(sp["conv"]["w"]), sp["bn"], ss["bn"],
-                 st.conv1_stride, st.conv1_padding,
-                 fused_relu_scale=relu_s,
-                 out_scale=scale_of(sp["quant_stem"]))
+    if st.pool1_kernel is None:
+        h = conv_tlu(x, np.asarray(sp["conv"]["w"]), sp["bn"], ss["bn"],
+                     st.conv1_stride, st.conv1_padding,
+                     fused_relu_scale=relu_s,
+                     out_scale=scale_of(sp["quant_stem"]))
+    else:
+        # relu TLU stands alone (pool sits between relu and quant_stem)
+        h = conv_tlu(x, np.asarray(sp["conv"]["w"]), sp["bn"], ss["bn"],
+                     st.conv1_stride, st.conv1_padding,
+                     out_scale=relu_s if relu_s else scale_of(sp["quant_stem"]),
+                     out_relu=True)
+        h = maxpool_expand(h, st.pool1_kernel, st.pool1_stride, 1)
+        # requant to the stem QuantIdentity scale
+        s_qs = scale_of(sp["quant_stem"])
+        lo_q, hi_q = act_qrange(bw, signed=True, relu=False)
+        h = add_site(h.name, h.shape, bound_of(h.name, max(h.hi, 1)),
+                     h.shape[-1],
+                     lambda c, a, s=h.scale: s * a + 0.0 * c,
+                     s_qs, lo_q, hi_q)
 
     # ---- blocks
     for bp, bs, (indim, outdim, half) in zip(
@@ -268,16 +315,22 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
                  s_pool, lo_p, hi_p)
     ops.append(Output(y.name, y.scale))
 
-    # ---- budget pass: propagate consumer budgets to producer tensors
-    for op in ops:
-        if isinstance(op, (Conv, PoolSum)):
-            n_budget[op.x] = max(n_budget.get(op.x, 0), n_budget[op.out])
-        elif isinstance(op, AddScaled):
-            n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
-            n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
-    # note: walking forward is sufficient — an acc/v tensor's budget is fixed
-    # by its worst-case bound before any consumer reads it, and consumers
-    # appear after producers in the op list.
+    # ---- budget pass: propagate consumer budgets back to producer tensors.
+    # Walk in REVERSE op order so every consumer's budget is final before
+    # its producers' inputs are constrained (levelled chains like the
+    # maxpool max(a,b) expansion feed AddScaled into AddScaled).
+    def propagate():
+        for op in reversed(ops):
+            if isinstance(op, (Conv, PoolSum)):
+                n_budget[op.x] = max(n_budget.get(op.x, 0), n_budget[op.out])
+            elif isinstance(op, Window):
+                n_budget[op.x] = max(n_budget.get(op.x, 0),
+                                     n_budget.get(op.out, 0))
+            elif isinstance(op, AddScaled):
+                n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
+                n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
+
+    propagate()
 
     # margin bits: if round-up at the bound edge could spill past the top
     # table window, widen that accumulator's budget (and re-propagate).
@@ -291,12 +344,7 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
                 n_budget[s.acc_name] = n + 1
                 changed = True
         if changed:
-            for op in ops:
-                if isinstance(op, (Conv, PoolSum)):
-                    n_budget[op.x] = max(n_budget.get(op.x, 0), n_budget[op.out])
-                elif isinstance(op, AddScaled):
-                    n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
-                    n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
+            propagate()
         else:
             break
 

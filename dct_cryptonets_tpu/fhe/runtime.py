@@ -23,7 +23,7 @@ import numpy as np
 
 from . import torus as T
 from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Tlu, simulate)
+                      Tlu, Window, simulate)
 from .keys import ClientKeys, decrypt_lwe, encrypt_lwe, keygen, make_server_keys
 from .params import TFHEParams, params_for_precision
 from .pbs import DeviceServerKeys, bootstrap, preprocess_server_keys
@@ -154,6 +154,19 @@ class CompiledModule:
                 t_lvl += time.time() - t_op
             elif isinstance(op, PoolSum):
                 env[op.out] = _pool_limbs(env[op.x], op.k)
+                t_lvl += time.time() - t_op
+            elif isinstance(op, Window):
+                # zero padding = trivial all-zero ciphertexts (encrypt 0
+                # with zero mask/noise), then a strided slice
+                x = env[op.x]
+                p, s = op.pad, op.stride
+                pads = ((0, 0), (0, 0), (p, p), (p, p), (0, 0))
+                hi = jnp.pad(x.hi, pads)
+                lo = jnp.pad(x.lo, pads)
+                sl = (slice(None), slice(None),
+                      slice(op.dy, op.dy + op.out_h * s, s),
+                      slice(op.dx, op.dx + op.out_w * s, s), slice(None))
+                env[op.out] = T.T64(hi[sl], lo[sl])
                 t_lvl += time.time() - t_op
             elif isinstance(op, AddScaled):
                 a = T.scalar_mul(env[op.a], op.ca * (1 << op.ja))
