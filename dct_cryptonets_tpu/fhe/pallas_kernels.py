@@ -72,35 +72,44 @@ def _rotate_diff_kernel(amt_ref, hi_ref, lo_ref, dhi_ref, dlo_ref, *,
 
 def _rotate_decompose_kernel(amt_ref, hi_ref, lo_ref, out0_ref, out1_ref, *,
                              n_poly: int, blog: int, levels: int,
-                             dbytes: int):
+                             dbytes: int, plane_major: bool = False):
     """Fused CMUX front half for one accumulator tile:
     rotate -> diff -> gadget-decompose -> byte-split.
 
     Blocks: hi/lo (TM, J, N) uint32; amt (TM, 1) int32;
-    outputs per digit byte u: (TM, J*levels*N) int8 laid out so that a
-    reshape to (TM, J*levels, N) gives row r = j*levels + lev — the conv's
-    channel-major input.  Everything between the acc load and the int8
-    store stays in VMEM: one pass instead of ~30 XLA kernels.
+    outputs per digit byte u: (TM, J*levels, N) int8 with row r =
+    j*levels + lev — the channel-major layout both the conv engine and the
+    fused matmul engine consume.  Everything between the acc load and the
+    int8 store stays in VMEM: one pass instead of ~30 XLA kernels.
     """
     N = n_poly
-    bits = int(np.log2(2 * N))
+    bits = int(np.log2(N))
     hi = hi_ref[:]
     lo = lo_ref[:]
-    J = hi.shape[1]
+    J = hi.shape[0] if plane_major else hi.shape[1]
     amt = amt_ref[:, 0]
 
-    # rotation on the doubled-negated buffer: pure circular roll
-    nhi, nlo = _neg64(hi, lo)
-    dhi = jnp.concatenate([hi, nhi], axis=-1)
-    dlo = jnp.concatenate([lo, nlo], axis=-1)
+    # Width-N rotation: X^a = (-1)^g X^r with a = g*N + r.  Roll by r via
+    # log2(N) per-sample-masked static rolls, then one sign-flip select on
+    # positions x < r XOR g — half the VPU traffic of rolling the doubled
+    # [p, -p] buffer.
+    cond_shape = (1, -1, 1) if plane_major else (-1, 1, 1)
+    r_amt = amt & (N - 1)
+    g_bit = (amt >> bits) & 1
+    dhi, dlo = hi, lo
     for b in range(bits):
         rhi = pltpu.roll(dhi, 1 << b, axis=dhi.ndim - 1)
         rlo = pltpu.roll(dlo, 1 << b, axis=dlo.ndim - 1)
-        cond = ((amt >> b) & 1).astype(jnp.bool_)
-        cond = cond.reshape((-1,) + (1,) * (dhi.ndim - 1))
+        cond = ((r_amt >> b) & 1).astype(jnp.bool_).reshape(cond_shape)
         dhi = jnp.where(cond, rhi, dhi)
         dlo = jnp.where(cond, rlo, dlo)
-    shi, slo = _sub64(dhi[..., :N], dlo[..., :N], hi, lo)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    flip = (col < r_amt.reshape(cond_shape)) ^ (
+        g_bit.reshape(cond_shape) == 1)
+    fhi, flo = _neg64(dhi, dlo)
+    dhi = jnp.where(flip, fhi, dhi)
+    dlo = jnp.where(flip, flo, dlo)
+    shi, slo = _sub64(dhi, dlo, hi, lo)
 
     # gadget decomposition of the diff (mirrors torus.decompose)
     total = blog * levels
@@ -135,54 +144,73 @@ def _rotate_decompose_kernel(amt_ref, hi_ref, lo_ref, out0_ref, out1_ref, *,
     for u in range(dbytes):
         for j in range(J):
             for lev in range(levels):
-                d = digits[lev][:, j, :]
+                d = (digits[lev][j] if plane_major
+                     else digits[lev][:, j, :])
                 r = d
                 for _ in range(u):
                     b8 = ((r + 128) & 255) - 128
                     r = (r - b8) >> 8
                 b8 = (((r + 128) & 255) - 128).astype(jnp.int8)
                 row = j * levels + lev
-                outs[u][:, row * N:(row + 1) * N] = b8
+                if plane_major:
+                    outs[u][row] = b8
+                else:
+                    outs[u][:, row] = b8
 
 
 @functools.partial(jax.jit, static_argnames=("blog", "levels", "dbytes",
-                                             "block_m", "interpret"))
+                                             "block_m", "interpret",
+                                             "plane_major"))
 def rotate_decompose(acc_hi, acc_lo, amounts, blog: int, levels: int,
                      dbytes: int, block_m: int = 16,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     plane_major: bool = False):
     """Fused rotate+diff+decompose+byte-split.
 
-    acc: (M, J, N) uint32 pair; amounts (M,).
-    Returns dB int8 of shape (dbytes, M, J*levels, N).
+    Sample-major (default): acc (M, J, N) uint32 pair -> tuple of dbytes
+    int8 arrays (M, J*levels, N) — the conv engine's layout.
+    Plane-major (``plane_major=True``): acc (J, M, N) -> (J*levels, M, N)
+    — the fused matmul engine's layout (TPU block shapes need the size-1
+    block dim leading, not in the middle).  amounts: (M,).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    M, J, N = acc_hi.shape
+    if plane_major:
+        J, M, N = acc_hi.shape
+    else:
+        M, J, N = acc_hi.shape
     rows = J * levels
     grid = (pl.cdiv(M, block_m),)
     kernel = functools.partial(_rotate_decompose_kernel, n_poly=N, blog=blog,
-                               levels=levels, dbytes=dbytes)
+                               levels=levels, dbytes=dbytes,
+                               plane_major=plane_major)
     n_out = dbytes
+    if plane_major:
+        spec_acc = pl.BlockSpec((J, block_m, N), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((rows, block_m, N), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((rows, M, N), jnp.int8)
+    else:
+        spec_acc = pl.BlockSpec((block_m, J, N), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((block_m, rows, N), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((M, rows, N), jnp.int8)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, J, N), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, J, N), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            spec_acc,
+            spec_acc,
         ],
-        out_specs=[
-            pl.BlockSpec((block_m, rows * N), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-        ] * n_out,
-        out_shape=[jax.ShapeDtypeStruct((M, rows * N), jnp.int8)] * n_out,
+        out_specs=[spec_out] * n_out,
+        out_shape=[out_shape] * n_out,
         interpret=interpret,
     )(amounts.astype(I32).reshape(-1, 1), acc_hi, acc_lo)
-    outs = outs if isinstance(outs, (list, tuple)) else [outs]
-    return jnp.stack([o.reshape(M, rows, N) for o in outs], axis=0)
+    return tuple(outs) if isinstance(outs, (list, tuple)) else (outs,)
 
 
 def _add64(ahi, alo, bhi, blo):
@@ -266,6 +294,197 @@ def combine_accumulate(o0, o1, acc_hi, acc_lo, drop: int,
         out_shape=[jax.ShapeDtypeStruct((M, J, N), U32)] * 2,
         interpret=interpret,
     )(o0, o1, acc_hi, acc_lo)
+    return ohi, olo
+
+
+def _shift64_from_i32_dyn(v, k):
+    """(int32 v) * 2^k mod 2^64 as (hi, lo) uint32, TRACED scalar k in
+    [0, 64).  Elementwise double-word shift with dynamic amount."""
+    lo0 = v.astype(U32)
+    hi0 = (v >> 31).astype(U32)
+    klt32 = k < 32
+    sh = jnp.where(klt32, k, 0).astype(U32)
+    lo_lt = lo0 << sh
+    spill = jnp.where(k == 0, U32(0),
+                      lo0 >> (U32(32) - jnp.maximum(sh, U32(1))))
+    hi_lt = (hi0 << sh) | spill
+    sh_ge = jnp.where(klt32, 0, k - 32).astype(U32)
+    hi_ge = lo0 << sh_ge
+    return (jnp.where(klt32, hi_lt, hi_ge),
+            jnp.where(klt32, lo_lt, jnp.zeros_like(lo_lt)))
+
+
+def _bigd_kernel(dbl_ref, out_ref, *, n_poly: int):
+    """Build a group of (128, 2N-128) Toeplitz strips from doubled
+    negacyclic byte rows (length 2N each):
+
+        strip[g, tt, x] = dbl[g, (x - tt + N + 128) mod 2N]
+
+    via a global pre-roll + 7 row-index-masked rolls (row tt ends up rolled
+    by +tt).  Replaces the XLA broadcast/reshape build, which costs ~2.5 ms
+    per step through this chip's slow fusion chains."""
+    N = n_poly
+    G = dbl_ref.shape[0]
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+    for g in range(G):
+        # Mosaic rolls need 32-bit data: upcast the byte row, downcast on
+        # store (per-g loop keeps the i32 working set at ~2 MB)
+        row = dbl_ref[g, :].reshape(1, 2 * N).astype(jnp.int32)
+        z = jnp.broadcast_to(row, (128, 2 * N))
+        z = pltpu.roll(z, N - 128, axis=1)  # z[y] = dbl[(y + N + 128) % 2N]
+        for b in range(7):
+            rolled = pltpu.roll(z, 1 << b, axis=1)
+            z = jnp.where(((rowid >> b) & 1) == 1, rolled, z)
+        out_ref[g] = z[:, :2 * N - 128].astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_bigd_strips(dbl, interpret: bool | None = None):
+    """dbl: (J, C, 2N) int8 doubled-negated byte rows ->
+    (J, C, 128, 2N-128) int8 Toeplitz strips (same layout as
+    ``pbs.build_bigd``)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    J, C, twoN = dbl.shape
+    N = twoN // 2
+    G = 8                                   # combos per grid cell
+    flat = dbl.reshape(J * C, twoN)
+    out = pl.pallas_call(
+        functools.partial(_bigd_kernel, n_poly=N),
+        grid=(pl.cdiv(J * C, G),),
+        in_specs=[pl.BlockSpec((G, twoN), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((G, 128, twoN - 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((J * C, 128, twoN - 128), jnp.int8),
+        interpret=interpret,
+    )(flat)
+    return out.reshape(J, C, 128, twoN - 128)
+
+
+def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
+                      ohi_ref, olo_ref, toep_ref, bucket_ref, sems, *,
+                      n_poly: int, rows: int, L: int, drop: int,
+                      dbytes: int, block_m: int):
+    """One (m-block, j_out, combo) cell of the fused external product.
+
+    combo = vi * rows + r walks the (kept key-byte, GGSW row) pairs for one
+    output polynomial, key-byte major.  Per cell: materialize the full
+    (N, N) negacyclic Toeplitz of (r, j_out, vi) in VMEM scratch from its
+    128-row BigD strip (16 slab copies), then contract each digit-byte
+    plane of row r against it in ONE K=N MXU matmul — accumulation happens
+    inside the MXU, never through VMEM.  Byte-scale buckets use a 2-slot
+    sliding window: contributions of sweep position vi land only in
+    buckets {vi, vi+1}, so bucket vi-1 is complete when vi starts and is
+    flushed into the 64-bit accumulator (dynamic double-word shift).
+    The acc blocks live in the *output* refs, seeded by DMA from the
+    HBM-resident inputs at the first cell.
+    """
+    N = n_poly
+    c = pl.program_id(2)
+    vi = c // rows
+    r = c % rows
+    m = pl.program_id(0)
+    j = pl.program_id(1)
+    nbuckets = 8 - drop
+
+    @pl.when(c == 0)
+    def _():
+        # seed out <- acc (HBM -> VMEM block DMA), zero the bucket window
+        cp_hi = pltpu.make_async_copy(
+            ahi_ref.at[j, pl.ds(m * block_m, block_m)], ohi_ref.at[0],
+            sems.at[0])
+        cp_lo = pltpu.make_async_copy(
+            alo_ref.at[j, pl.ds(m * block_m, block_m)], olo_ref.at[0],
+            sems.at[1])
+        cp_hi.start()
+        cp_lo.start()
+        cp_hi.wait()
+        cp_lo.wait()
+        bucket_ref[...] = jnp.zeros_like(bucket_ref)
+
+    def flush(slot, scale_minus_drop):
+        b = bucket_ref[slot]                        # dynamic slot (TM, N)
+        bhi, blo = _shift64_from_i32_dyn(b, 8 * (scale_minus_drop + drop))
+        hi, lo = _add64(ohi_ref[0], olo_ref[0], bhi, blo)
+        ohi_ref[0] = hi
+        olo_ref[0] = lo
+        bucket_ref[pl.ds(slot, 1)] = jnp.zeros((1,) + b.shape, jnp.int32)
+
+    @pl.when((r == 0) & (vi > 0))
+    def _():
+        flush((vi - 1) % 2, vi - 1)                 # bucket vi-1 complete
+
+    # full Toeplitz for (r, j, vi): 16 slab copies from the BigD strip
+    for t0 in range(N // 128):
+        toep_ref[t0 * 128:(t0 + 1) * 128, :] = (
+            big_ref[0, 0, :, N - 128 * (t0 + 1): 2 * N - 128 * (t0 + 1)])
+
+    for u in range(dbytes):
+        dref = (dB0_ref, dB1_ref)[u]
+        si = u + vi                      # bucket index = byte scale - drop
+
+        @pl.when(si < nbuckets)          # scale >= 8 wraps out of q
+        def _(dref=dref, si=si):
+            d = jax.lax.dot(dref[0], toep_ref[...],
+                            preferred_element_type=jnp.int32)
+            slot = si % 2
+            bucket_ref[pl.ds(slot, 1)] = bucket_ref[pl.ds(slot, 1)] + d[None]
+
+    @pl.when(c == L * rows - 1)
+    def _():
+        flush((nbuckets - 1) % 2, nbuckets - 1)     # the last bucket
+
+
+@functools.partial(jax.jit, static_argnames=("drop", "block_m", "interpret"))
+def fused_external(dB0, dB1, bigd, acc_hi, acc_lo, drop: int,
+                   block_m: int = 128, interpret: bool | None = None):
+    """acc + external product, fully VMEM-resident (the CMUX back half).
+
+    dB0/dB1: (rows, M, N) int8 digit-byte planes
+             (:func:`rotate_decompose` with ``plane_major=True``)
+    bigd:    (k+1, rows*L, 128, 2N-128) int8 Toeplitz strips
+             (``pbs.build_bigd``); L = kept key-byte limbs
+    acc:     (J, M, N) uint32 pair (plane-major).  Returns updated (hi, lo).
+
+    Grid (M/TM, j_out, rows*L); the acc blocks stay resident across the
+    combo sweep (constant index map), buckets accumulate in scratch, and
+    each cell streams one 128x(2N-128) strip — Pallas double-buffers it.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    J, M, N = acc_hi.shape
+    rows = dB0.shape[0]
+    C = bigd.shape[1]                     # rows * L
+    L = C // rows
+    assert L == 8 - drop, (L, drop)
+    block_m = min(block_m, M)
+    grid = (pl.cdiv(M, block_m), J, C)
+    kernel = functools.partial(_fused_ext_kernel, n_poly=N, rows=rows, L=L,
+                               drop=drop, dbytes=2, block_m=block_m)
+    spec_db = pl.BlockSpec((1, block_m, N), lambda m, j, c: (c % rows, m, 0),
+                           memory_space=pltpu.VMEM)
+    spec_big = pl.BlockSpec(
+        (1, 1, 128, 2 * N - 128),
+        lambda m, j, c: (j, (c % rows) * L + c // rows, 0, 0),
+        memory_space=pltpu.VMEM)
+    # acc inputs stay in HBM; the first cell DMAs them into the out blocks
+    spec_any = pl.BlockSpec(memory_space=pl.ANY)
+    spec_out = pl.BlockSpec((1, block_m, N), lambda m, j, c: (j, m, 0),
+                            memory_space=pltpu.VMEM)
+    ohi, olo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_db, spec_db, spec_big, spec_any, spec_any],
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((J, M, N), U32)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((N, N), jnp.int8),            # full Toeplitz
+            pltpu.VMEM((2, block_m, N), jnp.int32),  # sliding bucket window
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(dB0, dB1, bigd, acc_hi, acc_lo)
     return ohi, olo
 
 

@@ -373,6 +373,48 @@ def conv_external_s2d(dB_u: jax.Array, kern: jax.Array, k: int, N: int,
     return o
 
 
+def build_bigd(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
+               drop_limbs: int) -> jax.Array:
+    """GGSW byte limbs -> Toeplitz strip table for the fused Pallas engine.
+
+    The fused external product (``pallas_kernels.fused_external``) contracts
+    128-row tiles of gadget digits against 128-row strips of the negacyclic
+    Toeplitz operator.  All tiles of the full (N, N) Toeplitz matrix are
+    slices of ONE (128, 2N-128) strip per (row, j_out, key-limb), because
+    negacyclic Toeplitz blocks repeat along diagonals:
+
+        strip[j, r*L+vi, tt, x] = b~[r, j, (x - tt + N + 128) mod 2N, drop+vi]
+
+    so the contraction tile for digit block t0 and output window [0, N) is
+    the static slice ``strip[..., N - 128*(t0+1) : 2N - 128*(t0+1)]``.
+    Built with the tile/reshape trick (broadcast + reshape, no gathers).
+
+    bsk_bytes_i: (rows, k+1, 2N, 8) int8 balanced bytes of [b, -b].
+    Returns (k+1, rows*L, 128, 2N-128) int8 with L = 8 - drop_limbs.
+    """
+    dbl = _bigd_rows(bsk_bytes_i, k, levels, N, drop_limbs)
+    # z[y] = dbl[(y + N + 128) mod 2N]; the trick below yields
+    # strip[tt, x] = z[(x - tt) mod 2N] with x - tt spanning (2N - 1) < 2N
+    # distinct residues -> no aliasing.
+    z = jnp.roll(dbl, -(N + 128), axis=-1)
+    Q = 2 * N
+    C = dbl.shape[1]
+    tiled = jnp.broadcast_to(z[:, :, None, :], (k + 1, C, 128, Q))
+    flat = tiled.reshape(k + 1, C, 128 * Q)[..., :128 * (Q - 1)]
+    return flat.reshape(k + 1, C, 128, Q - 1)[..., :2 * N - 128]
+
+
+def _bigd_rows(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
+               drop_limbs: int) -> jax.Array:
+    """(rows, k+1, 2N, 8) GGSW byte limbs -> (k+1, rows*L, 2N) doubled
+    negacyclic byte rows, combo index = r * L + vi."""
+    rows = (k + 1) * levels
+    L = 8 - drop_limbs
+    assert N % 128 == 0 and N >= 256
+    kept = bsk_bytes_i[..., drop_limbs:]             # (rows, k+1, 2N, L)
+    return jnp.transpose(kept, (1, 0, 3, 2)).reshape(k + 1, rows * L, 2 * N)
+
+
 def external_product_step(diff: T.T64, bsk_kern: jax.Array,
                           params_tuple, drop_limbs: int):
     """One external product: GGSW_i x (M, k+1, N) GLWE -> (M, k+1, N) GLWE.
@@ -455,6 +497,29 @@ def cmux_accumulate_pallas(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
     return T.T64(nhi, nlo)
 
 
+def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
+                          params_tuple, drop_limbs: int) -> T.T64:
+    """CMUX with the external product fully fused in one Pallas kernel:
+    the Toeplitz-strip matmuls, byte-bucket accumulation, and 64-bit
+    recombine+accumulate all stay VMEM-resident; HBM sees only the acc
+    blocks, the int8 digit planes, and the BigD strip stream.
+
+    acc is PLANE-MAJOR: (k+1, M, N) — TPU block shapes need the size-1
+    block dim leading.  bigd_i must come from :func:`build_bigd`.
+    """
+    from .pallas_kernels import fused_external, rotate_decompose
+    (blog, levels, k, N) = params_tuple
+    dbytes = _digit_bytes_count(blog)
+    assert dbytes == 2, "fused CMUX kernels assume 2-byte gadget digits"
+    # block_m=64 keeps the doubled-negated rotation buffers inside VMEM
+    # (the rotate stage is VPU work — block size doesn't affect the MXU)
+    dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes,
+                          block_m=64, plane_major=True)
+    nhi, nlo = fused_external(dB[0], dB[1], bigd_i, acc.hi, acc.lo,
+                              drop_limbs)
+    return T.T64(nhi, nlo)
+
+
 # ---------------------------------------------------------------------------
 # blind rotate + sample extract + keyswitch
 
@@ -467,11 +532,14 @@ def mod_switch(ct_t64: T.T64, N: int) -> jax.Array:
 
 def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
                  bsk_bytes: jax.Array, params: TFHEParams,
-                 drop_limbs: int = 0, use_pallas: bool | None = None) -> T.T64:
+                 drop_limbs: int = 0, engine: str | None = None) -> T.T64:
     """Batched blind rotate.
 
     test_poly: (M, N) T64 — per-sample lookup polynomials
     ct_a: (M, n) uint32 mod-switched mask;  ct_b: (M,) uint32 mod-switched body
+    engine: 'fused' (Pallas Toeplitz-strip matmuls, default on TPU),
+            's2d' (Pallas elementwise stages + XLA space-to-depth convs),
+            'conv' (pure XLA, default on CPU).  All bit-identical.
     Returns GLWE accumulators (M, k+1, N) T64 whose constant phase
     coefficient is test_poly evaluated at the encrypted index.
     """
@@ -485,17 +553,37 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
     acc = T.T64(jnp.concatenate([zero_mask.hi, body.hi[:, None]], axis=1),
                 jnp.concatenate([zero_mask.lo, body.lo[:, None]], axis=1))
 
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() != "cpu"
-                      and _digit_bytes_count(params.pbs_base_log) == 2)
-    cmux = cmux_accumulate_pallas if use_pallas else cmux_accumulate
-    expand = expand_bsk_kernel_s2d if use_pallas else expand_bsk_kernel
+    if engine is None:
+        two_byte = _digit_bytes_count(params.pbs_base_log) == 2
+        engine = ("fused" if jax.default_backend() != "cpu" and two_byte
+                  else "conv")
+
+    if engine == "fused":
+        # plane-major carry (k+1, M, N); one transpose back at the end
+        acc = T.T64(jnp.transpose(acc.hi, (1, 0, 2)),
+                    jnp.transpose(acc.lo, (1, 0, 2)))
+
+        from .pallas_kernels import build_bigd_strips
+
+        def step(carry, inputs):
+            a_col, bsk_i = inputs
+            dbl = _bigd_rows(bsk_i, k, params.pbs_levels, N, drop_limbs)
+            bigd = build_bigd_strips(dbl)
+            new = cmux_accumulate_fused(carry, a_col, bigd, pt, drop_limbs)
+            return new, None
+
+        a_cols = jnp.transpose(ct_a, (1, 0))         # (n, M)
+        acc, _ = jax.lax.scan(step, acc, (a_cols, bsk_bytes))
+        return T.T64(jnp.transpose(acc.hi, (1, 0, 2)),
+                     jnp.transpose(acc.lo, (1, 0, 2)))
+    cmux = cmux_accumulate_pallas if engine == "s2d" else cmux_accumulate
+    expand = (expand_bsk_kernel_s2d if engine == "s2d"
+              else expand_bsk_kernel)
 
     def step(carry, inputs):
-        acc = carry
         a_col, bsk_i = inputs
         kern = expand(bsk_i, k, params.pbs_levels, N, drop_limbs)
-        new = cmux(acc, a_col, kern, pt, drop_limbs)
+        new = cmux(carry, a_col, kern, pt, drop_limbs)
         return new, None
 
     a_cols = jnp.transpose(ct_a, (1, 0))             # (n, M)
@@ -587,10 +675,11 @@ def make_test_polys(tables: jax.Array, params: TFHEParams,
     return static_negacyclic_roll(vals, 2 * N - reps // 2)
 
 
-@partial(jax.jit, static_argnames=("params", "out_delta_log2", "drop_limbs"))
+@partial(jax.jit, static_argnames=("params", "out_delta_log2", "drop_limbs",
+                                   "engine"))
 def bootstrap(ct: T.T64, tables: jax.Array, dsk: DeviceServerKeys,
               params: TFHEParams, out_delta_log2: int,
-              drop_limbs: int = 0) -> T.T64:
+              drop_limbs: int = 0, engine: str | None = None) -> T.T64:
     """Batched programmable bootstrap, Concrete order: KS -> MS -> BR -> SE.
 
     Activations live as big-LWE (dim kN) so that levelled dot products
@@ -608,5 +697,5 @@ def bootstrap(ct: T.T64, tables: jax.Array, dsk: DeviceServerKeys,
     ms = mod_switch(small, N)                        # (M, n+1) uint32
     test = make_test_polys(tables, params, out_delta_log2)
     acc = blind_rotate(test, ms[:, :n], ms[:, n], dsk.bsk_bytes, params,
-                       drop_limbs)
+                       drop_limbs, engine=engine)
     return sample_extract(acc, params)
