@@ -67,6 +67,11 @@ def parse_args(script: str, argv=None):
         h.add_argument("--fhe_mode", default="simulate",
                        choices=["simulate", "execute"])
         h.add_argument("--rounding_threshold_bits", default=6, type=int)
+        h.add_argument("--rounding_method", default="exact",
+                       choices=["exact", "approximate"],
+                       help="rounded-TLU exactness (Concrete's Exactness "
+                            "knob; 'exact' is its and our default, "
+                            "'approximate' skips LSB clearing for speed)")
         h.add_argument("--n_bits", default=5, type=int)
         h.add_argument("--p_error", default=0.01, type=float)
         h.add_argument("--reliability_test", default=True)

@@ -170,6 +170,70 @@ def make_server_keys(ck: ClientKeys, seed: int = 1) -> ServerKeyMaterial:
     return ServerKeyMaterial(ck.params, bsk, ksk)
 
 
+# ---------------------------------------------------------------------------
+# cross-key material (exact rounding / multi-partition circuits)
+
+
+def make_lwe_to_lwe_keyswitch_key(src_key: np.ndarray, dst_key: np.ndarray,
+                                  base_log: int, levels: int,
+                                  noise_log2: float, ck: ClientKeys,
+                                  rng) -> np.ndarray:
+    """Generic LWE->LWE keyswitch key: (len(src), levels, len(dst)+1) uint64.
+
+    LWE_dst(src_key_i * q / B^(level+1)) — lets the server re-encrypt an LWE
+    sample under ``src_key`` as one under ``dst_key``.  Used for the
+    cross-parameter-set hops of exact rounding (main big key -> extraction
+    small key, extraction big key -> main big key); Concrete inserts the
+    same keys between circuit partitions.
+    """
+    l, blog = levels, base_log
+    with np.errstate(over="ignore"):
+        gadgets = np.array([U64(1) << U64(64 - blog * (lev + 1))
+                            for lev in range(l)], U64)
+        mus = src_key[:, None] * gadgets[None, :]      # (src_dim, l)
+    return encrypt_lwe(ck, mus, rng, key=dst_key, noise_log2=noise_log2)
+
+
+@dataclass
+class AuxServerKeyMaterial:
+    """Server keys for the LSB-extraction PBS of exact rounding.
+
+    The extraction PBS runs on a cheap auxiliary parameter set (smaller N):
+      input big-LWE (main big key) --ksk_fwd--> aux small key --BR (bsk)-->
+      aux big key --ksk_back--> main big key.
+
+    bsk:      (n_aux, (k+1)*l, k+1, N_aux) GGSW rows of the aux small key
+              under the aux GLWE key
+    ksk_fwd:  (kN_main, l_ks_aux, n_aux+1)  main big key -> aux small key
+    ksk_back: (kN_aux, back_levels, kN_main+1)  aux big key -> main big key
+    """
+    params: "TFHEParams"         # aux parameter set
+    back_base_log: int
+    back_levels: int
+    bsk: np.ndarray
+    ksk_fwd: np.ndarray
+    ksk_back: np.ndarray
+
+
+def make_aux_server_keys(main_ck: ClientKeys, aux_params: TFHEParams,
+                         seed: int = 2, back_base_log: int = 4,
+                         back_levels: int = 6) -> AuxServerKeyMaterial:
+    """Generate the auxiliary key set for exact-rounding LSB extraction."""
+    rng = np.random.default_rng(seed)
+    aux_ck = keygen(aux_params, seed=seed + 10_000)
+    bsk = make_bootstrap_key(aux_ck, rng)
+    ksk_fwd = make_lwe_to_lwe_keyswitch_key(
+        main_ck.big_lwe_key, aux_ck.lwe_key,
+        aux_params.ks_base_log, aux_params.ks_levels,
+        aux_params.lwe_noise_log2, aux_ck, rng)
+    ksk_back = make_lwe_to_lwe_keyswitch_key(
+        aux_ck.big_lwe_key, main_ck.big_lwe_key,
+        back_base_log, back_levels,
+        main_ck.params.glwe_noise_log2, main_ck, rng)
+    return AuxServerKeyMaterial(aux_params, back_base_log, back_levels,
+                                bsk, ksk_fwd, ksk_back)
+
+
 def decrypt_glwe(ck: ClientKeys, ct: np.ndarray) -> np.ndarray:
     """Phase polynomial of a GLWE ciphertext (k+1, N) -> (N,)."""
     body = ct[-1].copy()

@@ -109,6 +109,22 @@ class NoiseModel:
         the big-LWE extracted after blind rotate carries only BR noise)."""
         return self.var_blind_rotate()
 
+    def var_drop_limbs(self, drop: int) -> float:
+        """Variance added to the blind-rotate output by skipping the low
+        ``drop`` BSK byte limbs in the external product (throughput mode).
+
+        Each dropped (digit, key-byte) product contributes
+        d * b * 2^(8v) with d a balanced gadget digit (var (B^2+2)/12) and
+        b a balanced byte (var ~256^2/12), summed over the n CMUX steps,
+        (k+1)*l gadget rows and N polynomial positions.
+        """
+        p = self.p
+        n, k, N, l = p.lwe_dim, p.glwe_dim, p.poly_size, p.pbs_levels
+        var_digit = (2.0 ** (2 * p.pbs_base_log) + 2.0) / 12.0
+        var_byte = (256.0 ** 2) / 12.0
+        scale = sum(2.0 ** (16 * v) for v in range(drop))
+        return n * (k + 1) * l * N * var_digit * var_byte * scale
+
     # -- error probability
 
     def pbs_error_probability(self, message_bits: int,
@@ -177,3 +193,48 @@ def params_for_precision(message_bits: int) -> TFHEParams:
         if b >= message_bits:
             return _PRESETS[b]
     raise ValueError(f"no parameter set for {message_bits}-bit TLUs (max 8)")
+
+
+# ---------------------------------------------------------------------------
+# exact rounding (Concrete's default `rounding_threshold_bits` method)
+
+
+@dataclass(frozen=True)
+class ExactRoundingConfig:
+    """Parameters of the LSB-extraction pipeline (fhe.pbs.clear_low_bits).
+
+    ``aux`` is the cheap parameter set the per-bit sign bootstraps run on
+    (small N — each extraction costs ~(n_aux/n)*(N_aux/N)^2 of a main PBS);
+    ``back_base_log/levels`` decompose the aux-big -> main-big keyswitch.
+    """
+    aux: TFHEParams
+    back_base_log: int = 4
+    back_levels: int = 6
+
+
+def default_exact_rounding(main: TFHEParams,
+                           p_error: float = 0.01) -> ExactRoundingConfig:
+    """Pick an extraction config for a main parameter set.
+
+    The aux set is the 4-bit preset (N=1024); the sign decision has a
+    quarter-torus margin (2^62), so the aux set's KS+MS noise (~2^56) gives
+    an extraction slip probability that is negligible next to any
+    practical per-PBS ``p_error`` contract — asserted here via the noise
+    model.  Test-scale main sets (tiny insecure N) reuse themselves as the
+    aux set so unit tests don't pay production keygen.
+    """
+    aux = main if main.poly_size <= 512 else _PRESETS[4]
+    nm = NoiseModel(aux)
+    # forward keyswitch from the main big key: kN_main rows
+    big_n = main.glwe_dim * main.poly_size
+    B = 2.0 ** aux.ks_base_log
+    l = aux.ks_levels
+    q = 2.0 ** aux.q_bits
+    var_ks = (big_n * l * nm.var_fresh_lwe() * (B * B + 2.0) / 12.0
+              + big_n * (q / B ** l) ** 2 / 24.0)
+    margin = 2.0 ** (aux.q_bits - 2)            # quarter torus
+    sigma = math.sqrt(nm.var_mod_switch() + var_ks)
+    slip = math.erfc(margin / sigma / math.sqrt(2.0))
+    if slip > p_error * 1e-2:
+        raise ValueError("extraction aux set infeasible for this p_error")
+    return ExactRoundingConfig(aux)

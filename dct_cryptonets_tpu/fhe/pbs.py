@@ -615,22 +615,34 @@ def sample_extract(acc: T.T64, params: TFHEParams) -> T.T64:
 
 def key_switch(big_ct: T.T64, ksk_bytes: jax.Array,
                params: TFHEParams) -> T.T64:
-    """Switch (M, kN+1) big-LWE down to (M, n+1) small-LWE.
+    """Switch (M, kN+1) big-LWE down to (M, n+1) small-LWE (the KS stage of
+    the standard PBS; dims/base from ``params``)."""
+    return lwe_key_switch(big_ct, ksk_bytes, params.ks_base_log,
+                          params.ks_levels)
+
+
+def lwe_key_switch(ct: T.T64, ksk_bytes: jax.Array, blog: int,
+                   levels: int) -> T.T64:
+    """Generic LWE->LWE keyswitch: (M, d_src+1) -> (M, d_dst+1).
 
     out = (0, .., 0, b) - sum_{i, level} d_{i,level} * KSK[i, level]
     computed as byte-limb int8 matmuls against the flattened KSK.
+    ksk_bytes: (d_src * levels, d_dst + 1, 8) int8 balanced byte limbs.
+    Dimensions are inferred from the key shape, so the same code serves the
+    PBS keyswitch and the cross-key hops of exact rounding / partitions.
     """
-    k, N, n = params.glwe_dim, params.poly_size, params.lwe_dim
-    blog, levels = params.ks_base_log, params.ks_levels
-    kN = k * N
-    M = big_ct.hi.shape[0]
-    a = T.T64(big_ct.hi[:, :kN], big_ct.lo[:, :kN])
-    b = T.T64(big_ct.hi[:, kN:], big_ct.lo[:, kN:])
+    kN = ksk_bytes.shape[0] // levels      # d_src
+    n = ksk_bytes.shape[1] - 1             # d_dst
+    M = ct.hi.shape[0]
+    assert ct.hi.shape[1] == kN + 1, (ct.hi.shape, kN)
+    a = T.T64(ct.hi[:, :kN], ct.lo[:, :kN])
+    b = T.T64(ct.hi[:, kN:], ct.lo[:, kN:])
 
     digits = T.decompose(a, blog, levels)            # (levels, M, kN)
     digits = jnp.transpose(digits, (1, 2, 0)).reshape(M, kN * levels)
     dbytes = _digit_bytes_count(blog)
     dB = signed_byte_split(digits, dbytes)           # (dbytes, M, kN*l)
+    assert ksk_bytes.shape[0] == kN * levels
 
     buckets: dict[int, jax.Array] = {}
     for u in range(dbytes):
@@ -699,3 +711,96 @@ def bootstrap(ct: T.T64, tables: jax.Array, dsk: DeviceServerKeys,
     acc = blind_rotate(test, ms[:, :n], ms[:, n], dsk.bsk_bytes, params,
                        drop_limbs, engine=engine)
     return sample_extract(acc, params)
+
+
+# ---------------------------------------------------------------------------
+# exact rounding: LSB extraction on an auxiliary parameter set
+#
+# Concrete's default ``rounding_threshold_bits`` semantics ("exact" method)
+# clears the accumulator's dropped low bits with auxiliary bootstraps before
+# the main table lookup, so the PBS phase sits exactly on window centers and
+# simulate == execute bit-exactly at production noise (the reference's
+# compile path defaults to this mode; homomorphic_eval.py:276-285).  The
+# approximate mode (no clearing) matches Concrete's faster
+# ``Exactness.APPROXIMATE`` option.
+#
+# Extraction is per-bit, LSB-first (the TFHE sign-bootstrap construction —
+# multi-bit chunks are impossible in one PBS because the bit just above a
+# chunk lands exactly on the padding position and cannot wrap away, flipping
+# the negacyclic sign).  After clearing bits [0, lo), shifting the
+# ciphertext left by 2^(n_in - lo) puts bit lo at the torus sign position:
+# bits above wrap away mod 2^64 and bits below are already cleared, so the
+# phase is b * 2^63 (+ shifted noise).  Adding a quarter-torus offset
+# centers both cases 2^62 away from the half-torus boundaries, and a
+# blind rotate over the CONSTANT test polynomial -h reads -h for b=0 and
+# +h for b=1 (pure negacyclic sign); +h levelled then gives b * 2h, which
+# keyswitches back to the main big key and subtracts off.
+
+
+class DeviceAuxKeys(NamedTuple):
+    """Extraction key set in TPU byte-limb layout (see keys.py)."""
+    bsk_bytes: jax.Array       # (n_aux, (k+1)l, k+1, 2N_aux, 8) int8
+    ksk_fwd_bytes: jax.Array   # (kN_main * l_ks_aux, n_aux + 1, 8) int8
+    ksk_back_bytes: jax.Array  # (kN_aux * back_levels, kN_main + 1, 8) int8
+
+
+def preprocess_aux_keys(ak) -> DeviceAuxKeys:
+    """AuxServerKeyMaterial -> device byte-limb layout."""
+    with np.errstate(over="ignore"):
+        doubled = np.concatenate([ak.bsk, -ak.bsk], axis=-1)
+    bsk_bytes = u64_to_balanced_bytes(doubled)
+    s, l, d = ak.ksk_fwd.shape
+    fwd = u64_to_balanced_bytes(ak.ksk_fwd.reshape(s * l, d))
+    s2, l2, d2 = ak.ksk_back.shape
+    back = u64_to_balanced_bytes(ak.ksk_back.reshape(s2 * l2, d2))
+    return DeviceAuxKeys(jnp.asarray(bsk_bytes), jnp.asarray(fwd),
+                         jnp.asarray(back))
+
+
+@partial(jax.jit, static_argnames=("aux_params", "n_in", "shift",
+                                   "back_base_log", "back_levels",
+                                   "drop_limbs", "engine"))
+def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
+                   aux_params: TFHEParams, n_in: int, shift: int,
+                   back_base_log: int, back_levels: int,
+                   drop_limbs: int = 0, engine: str | None = None) -> T.T64:
+    """Subtract the low ``shift`` bits of an n_in-bit-encoded accumulator.
+
+    ct: (M, kN_main+1) big-LWE whose phase encodes v * 2^(63 - n_in),
+    v >= 0 (the runtime recenters before clearing).  Returns a ciphertext
+    of (v - v mod 2^shift) * 2^(63 - n_in) (+ the original noise and small
+    extraction/keyswitch noise).  With the round-half-up constant added
+    beforehand, the caller's main PBS then reads exactly the simulator's
+    rounded index.  Costs ``shift`` aux-set sign bootstraps per sample.
+    """
+    n_aux, N_aux = aux_params.lwe_dim, aux_params.poly_size
+    M = ct.hi.shape[0]
+    w = ct
+    for lo in range(shift):
+        # bit lo -> sign position 63; bits above wrap away, bits below are
+        # cleared.  Quarter-torus offset robustifies the sign decision.
+        t = T.shift_left(w, n_in - lo)
+        off = T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), 62)
+        body = T.add(T.T64(t.hi[:, -1:], t.lo[:, -1:]), off)
+        t = T.T64(jnp.concatenate([t.hi[:, :-1], body.hi], axis=1),
+                  jnp.concatenate([t.lo[:, :-1], body.lo], axis=1))
+        small = lwe_key_switch(t, aux_keys.ksk_fwd_bytes,
+                               aux_params.ks_base_log, aux_params.ks_levels)
+        ms = mod_switch(small, N_aux)
+        # constant test poly -h with h = Delta_out / 2 = 2^(62 - n_in + lo):
+        # BR constant coeff = -h (b=0) / +h (b=1); +h makes it b * 2h.
+        h_log2 = 62 - n_in + lo
+        neg_h = T.neg(T.from_i32_shifted(
+            jnp.ones((M, N_aux), jnp.int32), h_log2))
+        acc = blind_rotate(neg_h, ms[:, :n_aux], ms[:, n_aux],
+                           aux_keys.bsk_bytes, aux_params, drop_limbs,
+                           engine=engine)
+        bit_big = sample_extract(acc, aux_params)     # aux big key
+        hb = T.add(T.T64(bit_big.hi[:, -1:], bit_big.lo[:, -1:]),
+                   T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), h_log2))
+        bit_big = T.T64(jnp.concatenate([bit_big.hi[:, :-1], hb.hi], axis=1),
+                        jnp.concatenate([bit_big.lo[:, :-1], hb.lo], axis=1))
+        bit_main = lwe_key_switch(bit_big, aux_keys.ksk_back_bytes,
+                                  back_base_log, back_levels)
+        w = T.sub(w, bit_main)
+    return w

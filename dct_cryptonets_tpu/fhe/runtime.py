@@ -24,9 +24,12 @@ import numpy as np
 from . import torus as T
 from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
                       Tlu, Window, simulate)
-from .keys import ClientKeys, decrypt_lwe, encrypt_lwe, keygen, make_server_keys
-from .params import TFHEParams, params_for_precision
-from .pbs import DeviceServerKeys, bootstrap, preprocess_server_keys
+from .keys import (ClientKeys, decrypt_lwe, encrypt_lwe, keygen,
+                   make_aux_server_keys, make_server_keys)
+from .params import (ExactRoundingConfig, TFHEParams,
+                     default_exact_rounding, params_for_precision)
+from .pbs import (DeviceAuxKeys, DeviceServerKeys, bootstrap, clear_low_bits,
+                  preprocess_aux_keys, preprocess_server_keys)
 
 U64 = np.uint64
 
@@ -82,16 +85,54 @@ class CompiledModule:
     device_keys: DeviceServerKeys | None = None
     pbs_batch: int = 4096
     stats: dict = field(default_factory=dict)
+    # Concrete's rounding exactness: "exact" (its default — LSB-extraction
+    # PBS clears the dropped accumulator bits, execute == simulate
+    # bit-exactly at production noise) or "approximate" (faster: rounded
+    # TLUs may slip +-1 window with probability set by the dropped-LSB
+    # phase; Concrete's Exactness.APPROXIMATE).
+    rounding_method: str = "exact"
+    exact_cfg: ExactRoundingConfig | None = None
+    aux_keys: DeviceAuxKeys | None = None
+    # low BSK byte limbs skipped in extraction blind rotates; None = pick
+    # the largest noise-safe value from the NoiseModel at keygen
+    aux_drop_limbs: int | None = None
 
     # -- reference-compatible helpers ------------------------------------
     def maximum_integer_bit_width(self) -> int:
         return self.circuit.max_bit_width()
+
+    def _needs_extraction(self) -> bool:
+        return (self.rounding_method == "exact"
+                and any(isinstance(op, Tlu) and op.spec.shift > 0
+                        for op in self.circuit.ops))
 
     def keygen(self, seed: int = 0):
         t = time.time()
         self.client_keys = keygen(self.params, seed)
         sk = make_server_keys(self.client_keys, seed + 1)
         self.device_keys = preprocess_server_keys(sk)
+        if self._needs_extraction():
+            if self.exact_cfg is None:
+                self.exact_cfg = default_exact_rounding(self.params)
+            ak = make_aux_server_keys(
+                self.client_keys, self.exact_cfg.aux, seed=seed + 2,
+                back_base_log=self.exact_cfg.back_base_log,
+                back_levels=self.exact_cfg.back_levels)
+            self.aux_keys = preprocess_aux_keys(ak)
+            if self.aux_drop_limbs is None:
+                # extracted bits are subtracted back into the accumulator,
+                # so the dropped-limb error must stay well below half the
+                # accumulator LSB 2^(62 - n_in) (the margin of later
+                # extractions and of the main PBS decision); z = 8
+                from .params import NoiseModel
+                n_in_max = max(op.spec.in_bits + op.spec.shift
+                               for op in self.circuit.ops
+                               if isinstance(op, Tlu) and op.spec.shift > 0)
+                nm = NoiseModel(self.exact_cfg.aux)
+                budget = 2.0 ** (62 - n_in_max - 3)
+                self.aux_drop_limbs = next(
+                    (d for d in range(4, -1, -1)
+                     if math.sqrt(nm.var_drop_limbs(d)) < budget), 0)
         self.stats["keygen_time"] = time.time() - t
 
     # -- client side ------------------------------------------------------
@@ -202,16 +243,23 @@ class CompiledModule:
         hi = jnp.moveaxis(ct.hi, 1, -1).reshape(M, n1)
         lo = jnp.moveaxis(ct.lo, 1, -1).reshape(M, n1)
         flat = T.T64(hi, lo)
-        # Body constant: recenter (+2^(r-1) * Delta_pbs == +2^62) plus a
-        # half-LSB dither (+Delta_x / 2 == 2^(62-n)) that turns the PBS's
-        # round-to-nearest-window into exactly the simulator's
-        # floor((acc + 2^(shift-1)) / 2^shift) — no rounding ties remain,
-        # so simulate and execute agree bit-exactly whenever the ciphertext
-        # noise stays below half an accumulator LSB.
         n_in = spec.in_bits + spec.shift
+        exact = self.rounding_method == "exact" and spec.shift > 0
+        # Body constant: recenter (+2^(n_in-1) * Delta == +2^62) plus the
+        # rounding offset.
+        #   approximate: a half-LSB dither (+Delta/2 == 2^(62-n_in)) turns
+        #   the PBS's round-to-nearest-window into the simulator's
+        #   floor((acc + 2^(shift-1)) / 2^shift) — exact whenever ciphertext
+        #   noise stays below half an accumulator LSB, else the dropped-LSB
+        #   phase may slip the window by +-1 (Concrete APPROXIMATE mode).
+        #   exact: the full round-half-up constant (+2^(shift-1) * Delta ==
+        #   +2^(62-in_bits)), after which clear_low_bits subtracts the low
+        #   `shift` bits so the phase sits exactly on window centers
+        #   (Concrete's default EXACT mode).
+        off_log2 = (62 - spec.in_bits) if exact else (62 - n_in)
         const = T.add(T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), 62),
                       T.from_i32_shifted(jnp.ones((M, 1), jnp.int32),
-                                         62 - n_in))
+                                         off_log2))
         body = T.add(T.T64(flat.hi[:, -1:], flat.lo[:, -1:]), const)
         flat = T.T64(jnp.concatenate([flat.hi[:, :-1], body.hi], axis=1),
                      jnp.concatenate([flat.lo[:, :-1], body.lo], axis=1))
@@ -222,10 +270,20 @@ class CompiledModule:
         site_tables = site_tables.reshape(M, tables.shape[1])
 
         out_delta = 63 - spec.out_n
+        cfg = self.exact_cfg
         outs_hi, outs_lo = [], []
         for s in range(0, M, self.pbs_batch):
             e = min(s + self.pbs_batch, M)
             chunk = T.T64(flat.hi[s:e], flat.lo[s:e])
+            if exact:
+                assert self.aux_keys is not None, "keygen() first"
+                chunk = clear_low_bits(
+                    chunk, self.aux_keys, cfg.aux, n_in, spec.shift,
+                    cfg.back_base_log, cfg.back_levels,
+                    drop_limbs=self.aux_drop_limbs)
+                self.stats["aux_pbs_executed"] = (
+                    self.stats.get("aux_pbs_executed", 0)
+                    + spec.shift * (e - s))
             res = bootstrap(chunk, site_tables[s:e], self.device_keys,
                             self.params, out_delta, drop_limbs)
             outs_hi.append(res.hi)
@@ -255,7 +313,7 @@ class CompiledModule:
 
 
 def compile_qat_model(params, state, spec, *, n_bits: int = 5,
-                      rounding_threshold_bits: int = 6,
+                      rounding_threshold_bits=6,
                       calib_absmax: float | None = None,
                       calib_data=None,
                       tfhe_params: TFHEParams | None = None,
@@ -266,11 +324,21 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
     rounding_threshold_bits, n_bits, p_error)`` (reference
     homomorphic_eval.py:276-285); ``calib_data`` switches accumulator bit
     budgets to calibration-derived ranges as Concrete does.
+
+    ``rounding_threshold_bits`` accepts an int (method defaults to "exact",
+    like Concrete) or a dict ``{"n_bits": r, "method": "exact" |
+    "approximate"}`` — the same surface Concrete-ML exposes.
     """
     from .compiler import lower
+    method = "exact"
+    if isinstance(rounding_threshold_bits, dict):
+        method = rounding_threshold_bits.get("method", "exact")
+        rounding_threshold_bits = rounding_threshold_bits["n_bits"]
+    assert method in ("exact", "approximate"), method
     circ = lower(params, state, spec, n_bits=n_bits,
                  rounding_threshold_bits=rounding_threshold_bits,
                  calib_absmax=calib_absmax, calib_data=calib_data)
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
     p = tfhe_params or params_for_precision(max_r)
-    return CompiledModule(circ, p, pbs_batch=pbs_batch)
+    return CompiledModule(circ, p, pbs_batch=pbs_batch,
+                          rounding_method=method)

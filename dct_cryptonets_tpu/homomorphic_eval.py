@@ -112,7 +112,9 @@ def main(argv=None):
     t = time.time()
     module = compile_qat_model(
         params, state, spec, n_bits=cfg.n_bits,
-        rounding_threshold_bits=cfg.rounding_threshold_bits,
+        rounding_threshold_bits={
+            "n_bits": cfg.rounding_threshold_bits,
+            "method": getattr(cfg, "rounding_method", "exact")},
         calib_data=calib_x,
         pbs_batch=cfg.pbs_batch)
     print(f"Time for FHE compilation {time.time()-t:.2f}")

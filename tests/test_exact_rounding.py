@@ -1,0 +1,93 @@
+"""Exact-rounding mode: LSB extraction clears dropped accumulator bits.
+
+Concrete's default ``rounding_threshold_bits`` method is "exact" (the
+reference compiles with it, homomorphic_eval.py:276-285): before a rounded
+TLU's table lookup the low ``shift`` bits of the accumulator are cleared
+with auxiliary bootstraps so the PBS phase sits exactly on window centers.
+These tests validate the primitive (``pbs.clear_low_bits``) against plain
+integer arithmetic and the end-to-end contract execute == simulate in both
+rounding modes.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dct_cryptonets_tpu.fhe import torus as T
+from dct_cryptonets_tpu.fhe.keys import (encrypt_lwe, decrypt_lwe, keygen,
+                                         make_aux_server_keys)
+from dct_cryptonets_tpu.fhe.params import (TEST_PARAMS,
+                                           default_exact_rounding)
+from dct_cryptonets_tpu.fhe.pbs import clear_low_bits, preprocess_aux_keys
+
+U64 = np.uint64
+
+
+@pytest.fixture(scope="module")
+def aux_setup():
+    ck = keygen(TEST_PARAMS, seed=3)
+    cfg = default_exact_rounding(TEST_PARAMS)
+    assert cfg.aux is TEST_PARAMS  # tiny main sets reuse themselves
+    ak = make_aux_server_keys(ck, cfg.aux, seed=4,
+                              back_base_log=cfg.back_base_log,
+                              back_levels=cfg.back_levels)
+    return ck, cfg, preprocess_aux_keys(ak)
+
+
+@pytest.mark.parametrize("shift", [1, 3, 5, 7])
+def test_clear_low_bits_matches_integer_arithmetic(aux_setup, shift):
+    ck, cfg, dak = aux_setup
+    n_in = 11
+    rng = np.random.default_rng(shift)
+    # nonneg values as produced by the recentered TLU input (runtime adds
+    # +2^(n_in-1) before clearing)
+    v = rng.integers(0, 1 << n_in, 64, dtype=np.int64)
+    delta_log2 = 63 - n_in
+    with np.errstate(over="ignore"):
+        mu = v.astype(U64) << U64(delta_log2)
+    ct = encrypt_lwe(ck, mu, rng, key=ck.big_lwe_key,
+                     noise_log2=ck.params.glwe_noise_log2)
+    ctt = T.from_u64(ct)                              # (M, kN+1)
+    out = clear_low_bits(ctt, dak, cfg.aux, n_in, shift,
+                         cfg.back_base_log, cfg.back_levels)
+    phase = decrypt_lwe(ck, T.to_u64(out), key=ck.big_lwe_key)
+    got = np.round(phase.astype(np.float64) / 2.0 ** delta_log2).astype(
+        np.int64) % (1 << (n_in + 1))
+    want = (v - (v % (1 << shift))) % (1 << (n_in + 1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_execute_matches_simulate_both_rounding_methods():
+    """Tiny net, heavy rounding: exact and approximate modes both match the
+    simulator at test noise (approximate only because noise << LSB here;
+    at production noise only exact keeps the bit-exact contract)."""
+    import jax
+    from dct_cryptonets_tpu.models import init_model, calibrate_scales
+    from dct_cryptonets_tpu.models.resnet import ModelSpec, forward
+    from dct_cryptonets_tpu.models.topology import StemSpec
+    from dct_cryptonets_tpu.fhe.runtime import compile_qat_model
+
+    tiny = ModelSpec(
+        name="tinyqat", block_counts=(1,), widths=(4,), in_channels=3,
+        img_size=4, num_classes=4, bit_width=3, quantized=True,
+        stem_override=StemSpec(1, 1, 0, None, None, 4, relu1=True),
+    )
+    params, state = init_model(jax.random.key(0), tiny)
+    x = jax.random.normal(jax.random.key(1), (8, 4, 4, 3))
+    for _ in range(2):
+        _, _, state = forward(params, state, x, tiny, train=True)
+    params = calibrate_scales(params, state, x, tiny)
+
+    xq = np.clip(np.random.default_rng(3).normal(0, 0.7, (1, 4, 4, 3)),
+                 -2, 2).astype(np.float32)
+    for method in ("exact", "approximate"):
+        module = compile_qat_model(
+            params, state, tiny, n_bits=3,
+            rounding_threshold_bits={"n_bits": 3, "method": method},
+            calib_absmax=2.0, tfhe_params=TEST_PARAMS, pbs_batch=512)
+        module.keygen(seed=5)
+        assert (module.aux_keys is not None) == (method == "exact")
+        feats_sim = module.forward(xq, fhe="simulate")
+        feats_exe = module.forward(xq, fhe="execute")
+        np.testing.assert_array_equal(feats_exe, feats_sim)
+        if method == "exact":
+            assert module.stats.get("aux_pbs_executed", 0) > 0
