@@ -100,6 +100,23 @@ class AddScaled:
 
 
 @dataclass
+class Rescale:
+    """Phase-only re-encoding: out carries the SAME integer value as x but
+    at the finer budget n(out) = enc(x) - j (Delta multiplied by 2^j).
+
+    Needed when a tensor's encoding was inflated by a wider consumer on a
+    shared path (e.g. the stage-transition block input feeds both the wide
+    conv1 and the narrow shortcut conv): the narrow TLU pre-scales its
+    accumulator so the table keeps full rounding resolution.  Identity in
+    the integer simulator; a single power-of-two scalar-mul in FHE
+    (noise also scales by 2^j — negligible next to keyswitch/mod-switch
+    noise for the small j seen in practice)."""
+    x: str
+    j: int
+    out: str
+
+
+@dataclass
 class Tlu:
     x: str
     spec: TluSpec
@@ -131,6 +148,47 @@ class Circuit:
         """Largest accumulator bit budget — the reference checks this <= 16
         for FHE feasibility (homomorphic_eval.py:301-306)."""
         return max(self.n_budget.values())
+
+    def verify_encodings(self) -> list[str]:
+        """Cross-check every op against the forward torus encodings.
+
+        Levelled ops preserve Delta = 2^(63 - enc); a TLU materialized with
+        ``in_bits + shift != enc(input)`` or an AddScaled whose ja/jb do not
+        re-align actual input encodings would make encrypted execution
+        misread phases (invisible to the integer simulator).  Returns a
+        list of violation strings — empty means consistent.
+        """
+        nb = self.n_budget
+        enc: dict = {}
+        bad: list[str] = []
+        for op in self.ops:
+            if isinstance(op, QuantIn):
+                enc[op.out] = op.n
+            elif isinstance(op, (Conv, PoolSum, Window)):
+                enc[op.out] = enc[op.x]
+            elif isinstance(op, AddScaled):
+                if op.ja != enc[op.a] - nb[op.out]:
+                    bad.append(f"add {op.out}: ja={op.ja}, "
+                               f"enc({op.a})={enc[op.a]}, n_out={nb[op.out]}")
+                if op.jb != enc[op.b] - nb[op.out]:
+                    bad.append(f"add {op.out}: jb={op.jb}, "
+                               f"enc({op.b})={enc[op.b]}, n_out={nb[op.out]}")
+                enc[op.out] = nb[op.out]
+            elif isinstance(op, Rescale):
+                if op.j < 0:
+                    bad.append(f"rescale {op.out}: negative j={op.j}")
+                enc[op.out] = enc[op.x] - op.j
+            elif isinstance(op, Tlu):
+                n_assumed = op.spec.in_bits + op.spec.shift
+                if n_assumed != enc[op.x]:
+                    bad.append(f"tlu on {op.x}: assumed n={n_assumed}, "
+                               f"actual enc={enc[op.x]}")
+                enc[op.out] = op.spec.out_n
+            elif isinstance(op, Output):
+                if nb.get(op.x) != enc[op.x]:
+                    bad.append(f"output {op.x}: n_budget={nb.get(op.x)}, "
+                               f"enc={enc[op.x]}")
+        return bad
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +251,8 @@ def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
             env[op.out] = _pool_sum(env[op.x], op.k)
         elif isinstance(op, Window):
             env[op.out] = _window(env[op.x], op)
+        elif isinstance(op, Rescale):
+            env[op.out] = env[op.x]          # integer value unchanged
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
         elif isinstance(op, Tlu):
@@ -237,6 +297,8 @@ def collect_acc_ranges(circuit: Circuit, x: jax.Array) -> dict:
             ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
         elif isinstance(op, Window):
             env[op.out] = _window(env[op.x], op)
+        elif isinstance(op, Rescale):
+            env[op.out] = env[op.x]          # integer value unchanged
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
             ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
@@ -276,6 +338,8 @@ def simulate_noisy(circuit: Circuit, x: jax.Array, key: jax.Array,
             env[op.out] = _pool_sum(env[op.x], op.k)
         elif isinstance(op, Window):
             env[op.out] = _window(env[op.x], op)
+        elif isinstance(op, Rescale):
+            env[op.out] = env[op.x]          # integer value unchanged
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
         elif isinstance(op, Tlu):

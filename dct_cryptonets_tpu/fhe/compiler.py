@@ -39,7 +39,7 @@ import numpy as np
 from ..models.resnet import ModelSpec
 from ..ops.quant import act_qrange
 from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Tlu, TluSpec, Window)
+                      Rescale, Tlu, TluSpec, Window)
 
 ADD_MULT_BITS = 6   # residual-add scale-unification multiplier precision
 
@@ -330,12 +330,30 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
                 n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
                 n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
 
-    propagate()
+    # Encoding fixpoint.  A tensor's FHE encoding Delta = 2^(63 - enc) is
+    # set by its *producer* and is shared by every consumer; levelled ops
+    # (Conv/PoolSum/Window) preserve Delta, so a tensor consumed by two
+    # paths with different budget demands carries the max — and any TLU on
+    # a downstream accumulator must be materialized against that actual
+    # encoding, not its own local budget (otherwise the PBS misreads the
+    # phase by the budget gap; this bit the stage-transition shortcut convs,
+    # whose input is shared with the wider conv1 path).
+    def encodings() -> dict:
+        enc = {s.out_name: n_budget.get(s.out_name, 0) for s in sites}
+        for op in ops:
+            if isinstance(op, QuantIn):
+                enc[op.out] = n_budget.get(op.out, 0)
+            elif isinstance(op, (Conv, PoolSum, Window)):
+                enc[op.out] = enc[op.x]
+            elif isinstance(op, AddScaled):
+                enc[op.out] = n_budget[op.out]
+        return enc
 
-    # margin bits: if round-up at the bound edge could spill past the top
-    # table window, widen that accumulator's budget (and re-propagate).
-    for _ in range(3):
+    for _ in range(8):
+        propagate()
         changed = False
+        # margin bits: if round-up at the bound edge could spill past the
+        # top table window, widen that accumulator's budget
         for s in sites:
             n = n_budget[s.acc_name]
             r_eff = min(r, n)
@@ -343,22 +361,22 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
             if shift > 0 and s.acc_bound > 2 ** (n - 1) - 2 ** (shift - 1):
                 n_budget[s.acc_name] = n + 1
                 changed = True
-        if changed:
-            propagate()
-        else:
+        if not changed:
             break
+    else:
+        raise RuntimeError("encoding/budget fixpoint did not converge")
+    enc = encodings()
 
-    # alignment exponents for AddScaled inputs
+    # alignment exponents for AddScaled inputs use actual input encodings
     for op in ops:
         if isinstance(op, AddScaled):
-            op.ja = n_budget[op.a] - n_budget[op.out]
-            op.jb = n_budget[op.b] - n_budget[op.out]
+            op.ja = enc[op.a] - n_budget[op.out]
+            op.jb = enc[op.b] - n_budget[op.out]
             assert op.ja >= 0 and op.jb >= 0
 
     qin.n = n_budget["x0"]
 
     # ---- materialize TLU tables with final budgets
-    out_pos = {s.out_name: i for i, s in enumerate(sites)}
     tlu_ops = {}
     for s in sites:
         n = n_budget[s.acc_name]
@@ -373,16 +391,29 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
         out_n = n_budget.get(s.out_name, _bits_for(max(abs(s.out_lo),
                                                        abs(s.out_hi))))
         n_budget.setdefault(s.out_name, out_n)
-        tlu_ops[s.acc_name] = Tlu(s.acc_name, TluSpec(r_eff, shift, out_n),
-                                  table.astype(np.int32), s.out_name)
+        seq = []
+        acc_in = s.acc_name
+        j = enc[s.acc_name] - n
+        assert j >= 0, (s.acc_name, enc[s.acc_name], n)
+        if j > 0:
+            # accumulator arrives encoded wider than its own budget (a
+            # sibling consumer inflated the shared producer); re-encode
+            # phase-only so the table keeps full rounding resolution
+            acc_in = s.acc_name + "_rs"
+            shapes[acc_in] = s.shape
+            n_budget[acc_in] = n
+            seq.append(Rescale(s.acc_name, j, acc_in))
+        seq.append(Tlu(acc_in, TluSpec(r_eff, shift, out_n),
+                       table.astype(np.int32), s.out_name))
+        tlu_ops[s.acc_name] = seq
 
-    # splice Tlu ops right after their accumulator producers
+    # splice Rescale/Tlu ops right after their accumulator producers
     final_ops = []
     for op in ops:
         final_ops.append(op)
         out = getattr(op, "out", None)
         if out in tlu_ops:
-            final_ops.append(tlu_ops[out])
+            final_ops.extend(tlu_ops[out])
 
     return Circuit(final_ops, (H, W, spec.in_channels), dict(n_budget),
                    {"shapes": dict(shapes), "n_bits": n_bits,

@@ -23,7 +23,7 @@ import numpy as np
 
 from . import torus as T
 from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Tlu, Window, simulate)
+                      Rescale, Tlu, Window, simulate)
 from .keys import (ClientKeys, decrypt_lwe, encrypt_lwe, keygen,
                    make_aux_server_keys, make_server_keys)
 from .params import (ExactRoundingConfig, TFHEParams,
@@ -213,6 +213,12 @@ class CompiledModule:
                 a = T.scalar_mul(env[op.a], op.ca * (1 << op.ja))
                 b = T.scalar_mul(env[op.b], op.cb * (1 << op.jb))
                 env[op.out] = T.add(a, b)
+                t_lvl += time.time() - t_op
+            elif isinstance(op, Rescale):
+                # phase-only re-encode to a finer budget (circuit.Rescale)
+                x = env[op.x]
+                env[op.out] = T.T64(*((x.hi, x.lo) if op.j == 0 else
+                                      T.shift_left(x, op.j)))
                 t_lvl += time.time() - t_op
             elif isinstance(op, Tlu):
                 env[op.out] = self._run_tlu(env[op.x], op, drop_limbs)

@@ -27,6 +27,12 @@ def test_resnet20_cifar_dct_lowering():
     params, state, x = _prep(spec)
     circ = lower(params, state, spec, rounding_threshold_bits=6)
     assert circ.max_bit_width() <= 16          # homomorphic_eval.py:301-306
+    # every TLU/add must be materialized against actual torus encodings
+    # (regression: shared-tensor budget inflation broke shortcut TLUs)
+    assert circ.verify_encodings() == []
+    circ_cal = lower(params, state, spec, rounding_threshold_bits=6,
+                     calib_data=x)
+    assert circ_cal.verify_encodings() == []
     # stem TLU + 9 blocks (3 TLUs each + 1 extra on the two transition
     # blocks' conv shortcuts) + head pool TLU
     tlus = [op for op in circ.ops if isinstance(op, Tlu)]
@@ -51,6 +57,7 @@ def test_resnet18_imagenet_dct_lowering():
     circ = lower(params, state, spec, rounding_threshold_bits=7,
                  calib_data=x)
     assert circ.max_bit_width() <= 16
+    assert circ.verify_encodings() == []
     tlus = [op for op in circ.ops if isinstance(op, Tlu)]
     # stem (no relu1 for 64_64_56) + 8 blocks (3 TLUs + shortcut TLU on the
     # three transition blocks) + head

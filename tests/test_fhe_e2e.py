@@ -104,3 +104,38 @@ def test_balanced_bytes_roundtrip():
     assert bb.shape == (8, 257) and bb.dtype == jnp.int8
     back = T.to_u64(T.from_balanced_bytes(bb))
     np.testing.assert_array_equal(back, x)
+
+
+# two-stage net: the stage-transition shortcut conv shares its input with
+# the wider 3x3 conv1 path, so its accumulator arrives encoded wider than
+# its own budget and the compiler must insert a phase-only Rescale
+# (regression for the shared-tensor encoding-inflation bug)
+TINY2 = ModelSpec(
+    name="tiny2qat", block_counts=(1, 1), widths=(4, 8), in_channels=3,
+    img_size=4, num_classes=4, bit_width=3, quantized=True,
+    stem_override=StemSpec(1, 1, 0, None, None, 2, relu1=True),
+)
+
+
+def test_rescale_execute_matches_simulate():
+    from dct_cryptonets_tpu.models import calibrate_scales
+    from dct_cryptonets_tpu.fhe.circuit import Rescale
+
+    params, state = init_model(jax.random.key(4), TINY2)
+    x = jax.random.normal(jax.random.key(5), (8, 4, 4, 3))
+    for _ in range(2):
+        _, _, state = forward(params, state, x, TINY2, train=True)
+    params = calibrate_scales(params, state, x, TINY2)
+
+    module = compile_qat_model(
+        params, state, TINY2, n_bits=3, rounding_threshold_bits=3,
+        calib_absmax=2.0, tfhe_params=TEST_PARAMS, pbs_batch=512)
+    assert module.circuit.verify_encodings() == []
+    rescales = [op for op in module.circuit.ops if isinstance(op, Rescale)]
+    assert rescales, "expected the shortcut-conv TLU to need a Rescale"
+    module.keygen(seed=6)
+
+    xin = np.clip(np.random.default_rng(7).normal(0, 0.7, (1, 4, 4, 3)), -2, 2)
+    feats_sim = module.forward(xin.astype(np.float32), fhe="simulate")
+    feats_exe = module.forward(xin.astype(np.float32), fhe="execute")
+    np.testing.assert_array_equal(feats_exe, feats_sim)

@@ -61,6 +61,7 @@ def test_resnet18_rgb224_topology_lowers():
     params, state, x = _prep(spec)
     circ = lower(params, state, spec, calib_data=x)
     assert circ.max_bit_width() <= 16
+    assert circ.verify_encodings() == []
     tlus = [op for op in circ.ops if isinstance(op, Tlu)]
     # stem relu + 8 pairwise-max relus + stem requant + blocks + head
     assert len(tlus) >= 1 + 8 + 1 + 6 + 1
