@@ -348,3 +348,27 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
     p = tfhe_params or params_for_precision(max_r)
     return CompiledModule(circ, p, pbs_batch=pbs_batch,
                           rounding_method=method)
+
+
+def compile_ptq_model(params, state, spec, calib_data, *, n_bits: int = 5,
+                      rounding_threshold_bits=6,
+                      tfhe_params: TFHEParams | None = None,
+                      pbs_batch: int = 4096) -> CompiledModule:
+    """Post-training quantization compile of a trained FLOAT model.
+
+    Mirrors ``compile_torch_model(model.module.feature, calib_data,
+    rounding_threshold_bits, p_error, n_bits)`` — the reference's path for
+    checkpoints whose model name carries no 'qat' tag (reference
+    homomorphic_eval.py:95-98, 287-295): weights per-tensor-quantized to
+    ``n_bits``, activation scales calibrated from ``calib_data`` with
+    running-stats BatchNorm, then the standard lowering.
+    """
+    from ..models import quantize_float_model
+    import jax.numpy as jnp
+    params_q, spec_q = quantize_float_model(params, state,
+                                            jnp.asarray(calib_data), spec,
+                                            n_bits=n_bits)
+    return compile_qat_model(params_q, state, spec_q, n_bits=n_bits,
+                             rounding_threshold_bits=rounding_threshold_bits,
+                             calib_data=calib_data,
+                             tfhe_params=tfhe_params, pbs_batch=pbs_batch)

@@ -22,7 +22,7 @@ import numpy as np
 from .config import parse_args
 from .data import pipeline
 from .data.codec import CodecConfig, dct_ingest
-from .fhe.runtime import compile_qat_model
+from .fhe.runtime import compile_ptq_model, compile_qat_model
 from .models import build_spec, calibrate_scales, forward, init_model
 from .utils import AverageMeter, topk_accuracy
 
@@ -106,17 +106,27 @@ def main(argv=None):
     # compile trunk -> FHE circuit (classifier stays clear); the first
     # calib batch drives accumulator-range calibration
     # (reference homomorphic_eval.py:258-261)
-    print("\nCompiling FHE Model...")
+    # QAT vs PTQ from the model name, like the reference
+    # (homomorphic_eval.py:95-98: 'qat' in name -> brevitas path, else
+    # post-training quantization via compile_torch_model)
+    quantization_type = "QAT" if spec.quantized else "PTQ"
+    print(f"\nCompiling FHE Model ({quantization_type})...")
     calib_x = np.asarray(_ingest(trainset.images[:cfg.calib_batch_size],
                                  codec_cfg))
     t = time.time()
-    module = compile_qat_model(
-        params, state, spec, n_bits=cfg.n_bits,
-        rounding_threshold_bits={
-            "n_bits": cfg.rounding_threshold_bits,
-            "method": getattr(cfg, "rounding_method", "exact")},
-        calib_data=calib_x,
-        pbs_batch=cfg.pbs_batch)
+    if quantization_type == "QAT":
+        module = compile_qat_model(
+            params, state, spec, n_bits=cfg.n_bits,
+            rounding_threshold_bits={
+                "n_bits": cfg.rounding_threshold_bits,
+                "method": getattr(cfg, "rounding_method", "exact")},
+            calib_data=calib_x,
+            pbs_batch=cfg.pbs_batch)
+    else:
+        module = compile_ptq_model(
+            params, state, spec, calib_x, n_bits=cfg.n_bits,
+            rounding_threshold_bits=cfg.rounding_threshold_bits,
+            pbs_batch=cfg.pbs_batch)
     print(f"Time for FHE compilation {time.time()-t:.2f}")
 
     bitwidth = module.maximum_integer_bit_width()

@@ -23,6 +23,7 @@ Quantization node placement matches SimpleQBlock exactly: quant_in at the
 input, QuantReLU after BN1, QuantIdentity after BN2 and on the conv shortcut
 branch, QuantReLU after the residual add, QuantIdentity after avgpool.
 """
+import dataclasses
 from dataclasses import dataclass, field
 import math
 
@@ -316,7 +317,7 @@ def forward(params, state, x, spec: ModelSpec, train: bool = False,
     return feats, logits, new_state
 
 
-def calibrate_scales(params, state, x, spec: ModelSpec):
+def calibrate_scales(params, state, x, spec: ModelSpec, train: bool = True):
     """Brevitas-style runtime-stats initialization of the activation scales.
 
     Runs one forward pass in which every activation quantizer derives its
@@ -324,12 +325,16 @@ def calibrate_scales(params, state, x, spec: ModelSpec):
     see already-quantized upstream activations), then returns a params
     pytree with those scales installed.  Call once on a representative
     batch before QAT training.
+
+    ``train=True`` (default, QAT init): calibration must see batch-stats
+    BatchNorm, matching the distribution the quantizers face during QAT
+    training (fresh running stats would mis-scale every post-BN
+    quantizer).  ``train=False`` (post-training quantization): the model
+    is already trained, so calibration uses the running stats the compiled
+    circuit will fold.
     """
     calib: dict = {}
-    # train=True: calibration must see batch-stats BatchNorm, matching the
-    # distribution the quantizers face during QAT training (fresh running
-    # stats would mis-scale every post-BN quantizer).
-    forward(params, state, x, spec, train=True, calib=calib)
+    forward(params, state, x, spec, train=train, calib=calib)
     import copy
     new_params = jax.tree_util.tree_map(lambda a: a, params)  # shallow-ish
     new_params = copy.deepcopy(jax.device_get(new_params))
@@ -339,3 +344,37 @@ def calibrate_scales(params, state, x, spec: ModelSpec):
             node = node[k]
         node["scale"] = jnp.asarray(jax.device_get(scale))
     return jax.tree_util.tree_map(jnp.asarray, new_params)
+
+
+def quantize_float_model(params, state, x_calib, spec: ModelSpec,
+                         n_bits: int = 5):
+    """Post-training quantization of a trained FLOAT model.
+
+    Framework equivalent of the Concrete-ML ``compile_torch_model`` input
+    stage the reference uses for non-QAT checkpoints (reference
+    homomorphic_eval.py:95-98, 287-295): weights are quantized per-tensor
+    to ``n_bits`` and activation scales are derived from calibration-batch
+    statistics, with BatchNorm in running-stats (eval) mode since the model
+    is already trained.
+
+    Returns ``(params_q, spec_q)`` — a quantized-model spec/params pair
+    that the standard QAT lowering (fhe.compiler.lower) accepts.
+    """
+    assert not spec.quantized, "model is already QAT; compile it directly"
+    spec_q = dataclasses.replace(spec, name=spec.name + "-ptq",
+                                 quantized=True, bit_width=n_bits)
+    skeleton, _ = init_model(jax.random.key(0), spec_q)
+
+    def graft(skel, src):
+        """Copy trained float leaves into the quantized skeleton; keep the
+        skeleton's extra quantizer nodes."""
+        if isinstance(skel, dict):
+            return {k: (graft(v, src[k]) if k in src else v)
+                    for k, v in skel.items()}
+        if isinstance(skel, list):
+            return [graft(sv, xv) for sv, xv in zip(skel, src)]
+        return src
+
+    merged = graft(skeleton, params)
+    params_q = calibrate_scales(merged, state, x_calib, spec_q, train=False)
+    return params_q, spec_q

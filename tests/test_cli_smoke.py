@@ -27,3 +27,17 @@ def test_homomorphic_eval_simulate(capsys):
     assert "Max bit-width:" in out and "it works in FHE" in out
     assert "ENCRYPTED test inference in SIMULATE mode" in out
     assert "Done" in out
+
+
+def test_homomorphic_eval_ptq_simulate(capsys):
+    """Non-QAT model name routes through the PTQ compile path (reference
+    homomorphic_eval.py:95-98)."""
+    from dct_cryptonets_tpu.homomorphic_eval import main
+    main(["--dataset", "synthetic", "--dct_status", "--model", "ResNet20",
+          "--channels", "24", "--filter_size", "4", "--image_size_dct", "16",
+          "--test_subset", "4", "--fhe_mode", "simulate", "--n_bits", "5",
+          "--calib_batch_size", "16"])
+    out = capsys.readouterr().out
+    assert "Compiling FHE Model (PTQ)" in out
+    assert "Max bit-width:" in out and "it works in FHE" in out
+    assert "Done" in out
