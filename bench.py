@@ -13,7 +13,7 @@ Reference baseline: 565 s per encrypted CIFAR-10 ResNet-20 DCT image
 lowering of the same topology, so vs_baseline compares image throughput.
 
 Environment knobs:
-  BENCH_M           PBS batch size        (default 4096 on TPU, 64 on CPU)
+  BENCH_M           PBS batch size        (default 2048 on TPU, 64 on CPU)
   BENCH_STEPS       blind-rotate steps to time (default: full n)
   BENCH_DROP_LIMBS  low BSK byte limbs to skip (default 3; noise-safe per
                     the NoiseModel with the base-2^13 gadget)
@@ -65,7 +65,11 @@ def build_circuit():
     x = dct_ingest(jnp.asarray(ds.images), cfg)
     params = calibrate_scales(params, state, x, spec)
     _, _, state = forward(params, state, x, spec, train=True)
-    circ = lower(params, state, spec, rounding_threshold_bits=6)
+    # calibration-based accumulator budgets, like the reference compile
+    # (it always passes a calibration batch; homomorphic_eval.py:259-285) —
+    # smaller budgets mean fewer exact-rounding extraction bits
+    circ = lower(params, state, spec, rounding_threshold_bits=6,
+                 calib_data=x)
     return circ
 
 
@@ -102,9 +106,11 @@ def main():
     from dct_cryptonets_tpu.fhe.pbs import bootstrap
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # NOTE: M=2048+ has triggered TPU worker faults through the axon tunnel;
-    # 1024 is the validated batch size on this chip.
-    M = int(os.environ.get("BENCH_M", 1024 if on_tpu else 64))
+    # M=2048 is the measured sweet spot on this chip (the old M>=2048
+    # worker faults disappeared with the fused Pallas engine).
+    M = int(os.environ.get("BENCH_M", 2048 if on_tpu else 64))
+    # default drop matches the circuit noise audit's choice for the
+    # flagship (most layers 3, aux 3 — see fhe/noise_audit.py)
     drop = int(os.environ.get("BENCH_DROP_LIMBS", 3))
 
     circ = build_circuit()
@@ -157,7 +163,9 @@ def main():
 
     # honest image-latency estimate, reference-default (EXACT) rounding:
     # aux extraction bootstraps run the same engine on the small aux set;
-    # their blind-rotate work is aux_unit main-PBS units each.
+    # their blind-rotate work is aux_unit main-PBS units each (the n*N^2
+    # work model tracks the measured ratio within ~25%; tools/bench_aux.py
+    # measures it directly).
     from dct_cryptonets_tpu.fhe.params import default_exact_rounding
     aux_p = default_exact_rounding(params).aux
     aux_unit = (aux_p.lwe_dim * aux_p.poly_size ** 2) / (

@@ -44,6 +44,62 @@ from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
 ADD_MULT_BITS = 6   # residual-add scale-unification multiplier precision
 
 
+def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS):
+    """Smallest integer pair (ca, cb) with ca/cb ~ sa/sb to g-bit accuracy.
+
+    The residual add computes v = ca*a + cb*b, interpreted at scale
+    s_v = sa/ca; the representation error on the b branch is the relative
+    error of ca/cb vs sa/sb.  The naive choice (round(ratio * 2^g), 2^g)
+    meets the accuracy bound but amplifies both branches' ciphertext noise
+    by up to 2^(2g) and inflates the add's integer range (more accumulator
+    bits -> more exact-rounding extraction bootstraps).  Continued-fraction
+    convergents give the accuracy at far smaller multipliers — directly
+    shrinking the noise-audit variance and the v-tensor bit budgets.
+
+    Returns (ca, cb, s_v).
+    """
+    rho = sa / sb
+    err_bound = 2.0 ** -(g + 1)
+    cap = 1 << g
+
+    best = None
+    most_accurate = None
+    # continued-fraction expansion of rho; track convergents p/q and probe
+    # semiconvergents so the smallest adequate pair is not skipped
+    p0, q0, p1, q1 = 0, 1, 1, 0
+    x = rho
+    for _ in range(64):
+        a = int(x)
+        for t in range(1, a + 1):       # semiconvergents p0+t*p1 / q0+t*q1
+            p, q = p0 + t * p1, q0 + t * q1
+            if not (1 <= p <= cap and 1 <= q <= cap):
+                continue
+            # realized b-branch error with s_v = sa/p: |s_v*q - sb| / sb
+            err = abs(rho * q / p - 1.0)
+            if most_accurate is None or err < most_accurate[0]:
+                most_accurate = (err, p, q)
+            if err <= err_bound and (best is None
+                                     or p * p + q * q < best[0]):
+                best = (p * p + q * q, p, q)
+        p0, q0, p1, q1 = p1, q1, p0 + a * p1, q0 + a * q1
+        if p1 > cap and q1 > cap:
+            break
+        frac = x - a
+        if frac <= 1e-12:
+            break
+        x = 1.0 / frac
+    if best is None:
+        # ratio not representable to g-bit accuracy under the cap (branch
+        # scales > ~16x apart); take the most accurate pair found — always
+        # at least as good as the naive (round(ratio * 2^g), 2^g) choice
+        if most_accurate is None:       # rho outside [1/cap, cap] entirely
+            return ((cap, 1, sa / cap) if rho > 1 else (1, cap, sa))
+        _, ca, cb = most_accurate
+        return ca, cb, sa / ca
+    _, ca, cb = best
+    return ca, cb, sa / ca
+
+
 def _quantize_weight(w, bits):
     """Brevitas narrow-range per-tensor weight quantization (ops/quant.py)."""
     w = np.asarray(w, np.float64)
@@ -282,12 +338,8 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
         else:
             sc = h
 
-        # residual add with scale unification (levelled)
-        s_max = max(a2.scale, sc.scale)
-        g = ADD_MULT_BITS
-        ca = max(1, int(round(a2.scale / s_max * (1 << g))))
-        cb = max(1, int(round(sc.scale / s_max * (1 << g))))
-        s_v = s_max / (1 << g)
+        # residual add with minimal-multiplier scale unification (levelled)
+        ca, cb, s_v = unify_multipliers(a2.scale, sc.scale)
         v_name = fresh("v")
         ops.append(AddScaled(a2.name, ca, sc.name, cb, 0, 0, v_name))
         shapes[v_name] = a2.shape

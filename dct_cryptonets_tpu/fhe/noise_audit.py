@@ -1,0 +1,233 @@
+"""Circuit-level noise audit: per-TLU error probabilities and safe
+throughput knobs, derived from the actual integer weights.
+
+This re-owns the role of Concrete's optimizer/noise analysis (the reference
+only passes ``p_error`` and lets Concrete's compiler prove the circuit meets
+it; reference homomorphic_eval.py:276-295).  The audit propagates ciphertext
+noise *variance* through the levelled graph using the real conv kernels and
+add multipliers, then checks every decision the encrypted runtime makes:
+
+* the **main PBS window decision** of each TLU — margin ``2^(62 - in_bits)``
+  against input noise + keyswitch + mod-switch (+ exact-rounding extraction
+  injections);
+* the **top extraction-bit guard** of exact rounding — the bit lo =
+  shift-1 sign decision sees the accumulator noise amplified by
+  ``2^(n_in - lo)`` against a quarter-torus margin.  Lower-bit misreads
+  self-cancel (the bit subtracted is the bit read, so an early misread
+  only re-routes the borrow chain and leaves a sub-window offset already
+  accounted in the input-noise term); the top bit is the binding one
+  because its misread moves the phase by a full window.
+
+The audit also *chooses* throughput knobs: the largest per-TLU-layer main
+blind-rotate limb drop and the largest aux-extraction limb drop that keep
+every decision inside the target ``p_error`` — the dropped-limb noise of a
+PBS lands on its output and is amplified by consumer convs, so safe values
+are a circuit property, not a parameter-set property (fhe/params.py
+``safe_drop_limbs`` is the conservative circuit-free bound).
+"""
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
+                      Rescale, Tlu, Window)
+from .params import ExactRoundingConfig, NoiseModel, TFHEParams
+
+MAX_DROP = 4   # limb drops >= 5 are catastrophic for every preset
+
+
+def _conv_amp2(w: np.ndarray) -> float:
+    """Worst per-output-channel squared-L2 weight sum (variance gain)."""
+    w = np.asarray(w, np.float64)
+    return float((w * w).sum(axis=(0, 1, 2)).max())
+
+
+@dataclass
+class TluReport:
+    acc: str                  # accumulator tensor (decision site)
+    sites: int                # PBS sites per sample
+    in_bits: int
+    shift: int
+    drop_limbs: int           # chosen main blind-rotate limb drop
+    p_window: float           # main window-decision error probability
+    p_extract: float          # top extraction-bit guard error (exact mode)
+
+    @property
+    def p_total(self) -> float:
+        return min(1.0, self.p_window + self.p_extract)
+
+
+@dataclass
+class AuditResult:
+    params: TFHEParams
+    p_error: float
+    rounding_method: str
+    aux_drop_limbs: int
+    reports: list = field(default_factory=list)
+    by_acc: dict = field(default_factory=dict)
+
+    @property
+    def max_p_error(self) -> float:
+        return max((r.p_total for r in self.reports), default=0.0)
+
+    def drop_for(self, acc_name: str) -> int:
+        return self.by_acc[acc_name].drop_limbs
+
+    def summary(self) -> str:
+        lines = [f"noise audit: {len(self.reports)} TLU layers, "
+                 f"method={self.rounding_method}, target p_error "
+                 f"{self.p_error}, aux_drop={self.aux_drop_limbs}"]
+        for r in self.reports:
+            lines.append(
+                f"  {r.acc:<10} sites={r.sites:<6} r={r.in_bits} "
+                f"shift={r.shift} drop={r.drop_limbs} "
+                f"p_window={r.p_window:.2e} p_extract={r.p_extract:.2e}")
+        lines.append(f"  max per-PBS p_error: {self.max_p_error:.2e}")
+        return "\n".join(lines)
+
+
+def _erfc_z(margin: float, var: float) -> float:
+    if var <= 0:
+        return 0.0
+    return math.erfc(margin / math.sqrt(var) / math.sqrt(2.0))
+
+
+def audit_circuit(circ: Circuit, params: TFHEParams, *,
+                  p_error: float = 0.015,
+                  rounding_method: str = "exact",
+                  exact_cfg: ExactRoundingConfig | None = None,
+                  enc_noise_log2: float | None = None) -> AuditResult:
+    """Audit every TLU decision and choose safe per-layer limb drops.
+
+    Returns an :class:`AuditResult`; ``result.max_p_error`` > ``p_error``
+    means the circuit violates the contract even with no dropped limbs
+    (e.g. a conv with an extreme weight norm) — the caller should raise or
+    re-lower with wider parameters, mirroring Concrete's infeasibility
+    errors.
+    """
+    nm = NoiseModel(params)
+    var_fixed = nm.var_keyswitch() + nm.var_mod_switch()
+    var_enc = 2.0 ** (2 * (enc_noise_log2 if enc_noise_log2 is not None
+                           else params.glwe_noise_log2))
+
+    aux_var_bit = 0.0
+    aux_drop = 0
+    if rounding_method == "exact":
+        if exact_cfg is None:
+            from .params import default_exact_rounding
+            exact_cfg = default_exact_rounding(params)
+        aux_nm = NoiseModel(exact_cfg.aux)
+        # noise injected into the accumulator per extracted bit: the aux
+        # blind-rotate output (+ dropped aux limbs) + the back keyswitch
+        big_n = exact_cfg.aux.glwe_dim * exact_cfg.aux.poly_size
+        B = 2.0 ** exact_cfg.back_base_log
+        l = exact_cfg.back_levels
+        q = 2.0 ** 64
+        var_ks_back = (big_n * l * var_enc * (B * B + 2.0) / 12.0
+                       + big_n * (q / B ** l) ** 2 / 24.0)
+
+        def bit_var(d):
+            return (aux_nm.var_blind_rotate() + aux_nm.var_drop_limbs(d)
+                    + var_ks_back)
+    else:
+        def bit_var(d):
+            return 0.0
+
+    # ---- forward sensitivity pass: tensor -> {source: amp2}
+    # sources are 'enc' or TLU accumulator names (their PBS outputs)
+    senses: dict[str, dict[str, float]] = {}
+    tlus: list[Tlu] = []
+    shapes = circ.meta["shapes"]
+    decision_sources: dict[str, dict[str, float]] = {}
+
+    def scaled(m: dict, f: float) -> dict:
+        return {k: v * f for k, v in m.items()}
+
+    for op in circ.ops:
+        if isinstance(op, QuantIn):
+            senses[op.out] = {"enc": 1.0}
+        elif isinstance(op, Conv):
+            senses[op.out] = scaled(senses[op.x], _conv_amp2(op.w))
+        elif isinstance(op, PoolSum):
+            senses[op.out] = scaled(senses[op.x], float(op.k * op.k))
+        elif isinstance(op, Window):
+            senses[op.out] = dict(senses[op.x])
+        elif isinstance(op, Rescale):
+            senses[op.out] = scaled(senses[op.x], 4.0 ** op.j)
+        elif isinstance(op, AddScaled):
+            fa = float(op.ca * (1 << op.ja)) ** 2
+            fb = float(op.cb * (1 << op.jb)) ** 2
+            m = scaled(senses[op.a], fa)
+            for k, v in scaled(senses[op.b], fb).items():
+                m[k] = m.get(k, 0.0) + v
+            senses[op.out] = m
+        elif isinstance(op, Tlu):
+            decision_sources[op.x] = dict(senses[op.x])
+            tlus.append(op)
+            senses[op.out] = {op.x: 1.0}
+        elif isinstance(op, Output):
+            pass
+
+    # ---- choose drops: start at MAX_DROP everywhere, then repair.
+    drop: dict[str, int] = {t.x: MAX_DROP for t in tlus}
+
+    def src_var(name: str) -> float:
+        if name == "enc":
+            return var_enc
+        return nm.var_blind_rotate() + nm.var_drop_limbs(drop[name])
+
+    def decision_p(t: Tlu) -> tuple[float, float]:
+        var_in = sum(a2 * src_var(s)
+                     for s, a2 in decision_sources[t.x].items())
+        var_in += t.spec.shift * bit_var(aux_drop)
+        margin_w = 2.0 ** (62 - t.spec.in_bits)
+        p_w = _erfc_z(margin_w, var_in + var_fixed)
+        p_x = 0.0
+        if rounding_method == "exact" and t.spec.shift > 0:
+            # top extraction bit: guard margin Delta/2 amplified view —
+            # noise * 2^(n_in - lo) vs quarter torus == noise vs
+            # 2^(61 - in_bits); aux-set KS/MS noise is negligible next to
+            # the quarter-torus margin and is left out.
+            p_x = _erfc_z(margin_w / 2.0, var_in)
+        return p_w, p_x
+
+    def worst() -> tuple[float, Tlu | None]:
+        wp, wt = 0.0, None
+        for t in tlus:
+            p_w, p_x = decision_p(t)
+            if p_w + p_x > wp:
+                wp, wt = p_w + p_x, t
+        return wp, wt
+
+    # aux drop: largest value whose per-bit injection keeps the worst
+    # decision within budget (evaluated jointly with main drops below)
+    aux_drop = MAX_DROP if rounding_method == "exact" else 0
+
+    for _ in range(len(tlus) * (MAX_DROP + 1) + MAX_DROP + 1):
+        wp, wt = worst()
+        if wp <= p_error or wt is None:
+            break
+        # lower the knob contributing most variance to the worst decision
+        contrib_aux = wt.spec.shift * bit_var(aux_drop) if aux_drop else 0.0
+        cands = [(s, a2 * nm.var_drop_limbs(drop[s]))
+                 for s, a2 in decision_sources[wt.x].items()
+                 if s != "enc" and drop[s] > 0]
+        best_src = max(cands, key=lambda kv: kv[1], default=None)
+        if best_src and best_src[1] >= contrib_aux:
+            drop[best_src[0]] -= 1
+        elif aux_drop > 0:
+            aux_drop -= 1
+        elif best_src:
+            drop[best_src[0]] -= 1
+        else:
+            break   # nothing left to lower — circuit infeasible as-is
+
+    res = AuditResult(params, p_error, rounding_method, aux_drop)
+    for t in tlus:
+        p_w, p_x = decision_p(t)
+        rep = TluReport(t.x, int(np.prod(shapes[t.x])), t.spec.in_bits,
+                        t.spec.shift, drop[t.x], p_w, p_x)
+        res.reports.append(rep)
+        res.by_acc[t.x] = rep
+    return res

@@ -158,25 +158,29 @@ class NoiseModel:
 # presets
 
 # Shapes follow public TFHE-rs/Concrete 128-bit parameter sets for q = 2^64.
-# pbs_base_log * pbs_levels >= 26 keeps the gadget-decomposition remainder
-# (whose std ~ q / B^l) below the conv-weight amplification budget; digits
-# at base 2^13 fit two int8 byte limbs in the MXU external product.
+# Gadget base 2^15 with 2 levels is the 2-int8-byte-digit sweet spot: digits
+# lie in [-2^14, 2^14] (torus.decompose), which still fits two balanced byte
+# limbs in the MXU external product at the SAME MAC cost as smaller bases,
+# while the decomposition remainder (std ~ q / B^l = 2^34) is 4 bits lower
+# than base 2^13 — directly shrinking the blind-rotate output noise that
+# consumer convs amplify (see fhe/noise_audit.py).  Base 2^16 would
+# overflow the two-byte digit range by its single +B/2 boundary value.
 _PRESETS = {
     # message_bits (incl. sign of the rounded accumulator) -> params
     4: TFHEParams(lwe_dim=742, glwe_dim=1, poly_size=1024,
-                  pbs_base_log=13, pbs_levels=2, ks_base_log=4, ks_levels=6,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=4, ks_levels=6,
                   lwe_noise_log2=46.0, glwe_noise_log2=14.0, message_bits=4),
     5: TFHEParams(lwe_dim=776, glwe_dim=1, poly_size=2048,
-                  pbs_base_log=13, pbs_levels=2, ks_base_log=4, ks_levels=6,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=4, ks_levels=6,
                   lwe_noise_log2=45.5, glwe_noise_log2=12.0, message_bits=5),
     6: TFHEParams(lwe_dim=840, glwe_dim=1, poly_size=2048,
-                  pbs_base_log=13, pbs_levels=2, ks_base_log=4, ks_levels=6,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=4, ks_levels=6,
                   lwe_noise_log2=44.0, glwe_noise_log2=12.0, message_bits=6),
     7: TFHEParams(lwe_dim=970, glwe_dim=1, poly_size=4096,
-                  pbs_base_log=13, pbs_levels=2, ks_base_log=3, ks_levels=8,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=3, ks_levels=8,
                   lwe_noise_log2=41.5, glwe_noise_log2=12.0, message_bits=7),
     8: TFHEParams(lwe_dim=1024, glwe_dim=1, poly_size=8192,
-                  pbs_base_log=13, pbs_levels=2, ks_base_log=3, ks_levels=8,
+                  pbs_base_log=15, pbs_levels=2, ks_base_log=3, ks_levels=8,
                   lwe_noise_log2=40.0, glwe_noise_log2=12.0, message_bits=8),
 }
 
@@ -185,6 +189,29 @@ TEST_PARAMS = TFHEParams(lwe_dim=16, glwe_dim=1, poly_size=256,
                          pbs_base_log=15, pbs_levels=2, ks_base_log=4,
                          ks_levels=4, lwe_noise_log2=10.0, glwe_noise_log2=4.0,
                          message_bits=4)
+
+
+def safe_drop_limbs(p: TFHEParams, message_bits: int,
+                    p_error: float = 0.015,
+                    amplification2: float = 2.0 ** 14) -> int:
+    """Largest BSK byte-limb drop whose extra external-product noise keeps
+    the per-PBS error probability within ``p_error`` (the preset contract).
+
+    Dropping low key limbs cuts the blind-rotate MAC count by 1/8 each
+    (throughput mode, fhe/pbs.py).  The dropped-limb noise sits on the PBS
+    *output* ciphertext, so the next TLU's decision sees it amplified by
+    the consumer conv's squared-weight sum — ``amplification2`` (default
+    conservative for the reference nets' int4 3x3 convs; the circuit
+    noise audit in fhe/noise_audit.py computes the exact per-layer value).
+    """
+    nm = NoiseModel(p)
+    for d in range(7, -1, -1):
+        var_out = nm.var_drop_limbs(d) + nm.var_blind_rotate()
+        if nm.pbs_error_probability(
+                message_bits,
+                input_variance=var_out * amplification2) <= p_error:
+            return d
+    return 0
 
 
 def params_for_precision(message_bits: int) -> TFHEParams:

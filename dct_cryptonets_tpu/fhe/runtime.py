@@ -96,6 +96,15 @@ class CompiledModule:
     # low BSK byte limbs skipped in extraction blind rotates; None = pick
     # the largest noise-safe value from the NoiseModel at keygen
     aux_drop_limbs: int | None = None
+    # "none": no limbs dropped anywhere (bit-exact vs the simulator while
+    #   ciphertext noise stays below half an accumulator LSB — the unit-test
+    #   contract); "audit": per-TLU-layer limb drops chosen by the circuit
+    #   noise audit under the p_error contract (production throughput mode,
+    #   Concrete's actual semantics — its optimizer proves p_error, not
+    #   bit-exactness).
+    drop_policy: str = "none"
+    p_error: float = 0.015
+    audit = None
 
     # -- reference-compatible helpers ------------------------------------
     def maximum_integer_bit_width(self) -> int:
@@ -105,6 +114,20 @@ class CompiledModule:
         return (self.rounding_method == "exact"
                 and any(isinstance(op, Tlu) and op.spec.shift > 0
                         for op in self.circuit.ops))
+
+    def run_audit(self):
+        """Run (and cache) the circuit noise audit for this module —
+        per-TLU p_error verification + safe per-layer limb drops
+        (fhe/noise_audit.py; Concrete's optimizer role)."""
+        if self.audit is None:
+            from .noise_audit import audit_circuit
+            if self.exact_cfg is None and self._needs_extraction():
+                self.exact_cfg = default_exact_rounding(self.params)
+            self.audit = audit_circuit(
+                self.circuit, self.params, p_error=self.p_error,
+                rounding_method=self.rounding_method,
+                exact_cfg=self.exact_cfg)
+        return self.audit
 
     def keygen(self, seed: int = 0):
         t = time.time()
@@ -120,19 +143,15 @@ class CompiledModule:
                 back_levels=self.exact_cfg.back_levels)
             self.aux_keys = preprocess_aux_keys(ak)
             if self.aux_drop_limbs is None:
-                # extracted bits are subtracted back into the accumulator,
-                # so the dropped-limb error must stay well below half the
-                # accumulator LSB 2^(62 - n_in) (the margin of later
-                # extractions and of the main PBS decision); z = 8
-                from .params import NoiseModel
-                n_in_max = max(op.spec.in_bits + op.spec.shift
-                               for op in self.circuit.ops
-                               if isinstance(op, Tlu) and op.spec.shift > 0)
-                nm = NoiseModel(self.exact_cfg.aux)
-                budget = 2.0 ** (62 - n_in_max - 3)
-                self.aux_drop_limbs = next(
-                    (d for d in range(4, -1, -1)
-                     if math.sqrt(nm.var_drop_limbs(d)) < budget), 0)
+                # under the audit policy, the extraction drop comes from
+                # the circuit noise audit (the extracted-bit ciphertexts
+                # are subtracted into the accumulator, so their dropped-
+                # limb noise is checked against every decision margin);
+                # otherwise keep the bit-exact contract (no drops).
+                if self.drop_policy == "audit":
+                    self.aux_drop_limbs = self.run_audit().aux_drop_limbs
+                else:
+                    self.aux_drop_limbs = 0
         self.stats["keygen_time"] = time.time() - t
 
     # -- client side ------------------------------------------------------
@@ -176,10 +195,16 @@ class CompiledModule:
         return v.astype(np.float32) * out_op.scale
 
     # -- server side -------------------------------------------------------
-    def run_encrypted(self, ct_in: T.T64, drop_limbs: int = 0) -> T.T64:
+    def run_encrypted(self, ct_in: T.T64, drop_limbs: int | None = None) -> T.T64:
         """Server-side evaluation, with per-stage wall-clock accounting
         (the reference only reports end-to-end FHE latency; we also track
-        levelled vs PBS time and a PBS/s counter — SURVEY §5)."""
+        levelled vs PBS time and a PBS/s counter — SURVEY §5).
+
+        ``drop_limbs``: explicit global blind-rotate limb drop; None means
+        policy-driven (0 under "none", per-TLU audited values under
+        "audit")."""
+        if drop_limbs is None and self.drop_policy == "audit":
+            self.run_audit()
         env = {}
         pbs_count = 0
         t0 = time.time()
@@ -241,7 +266,11 @@ class CompiledModule:
         })
         return result
 
-    def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int) -> T.T64:
+    def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int | None) -> T.T64:
+        if drop_limbs is None:
+            drop_limbs = (self.audit.drop_for(op.x)
+                          if self.drop_policy == "audit" and self.audit
+                          else 0)
         spec = op.spec
         B, n1, H, W, C = ct.hi.shape
         M = B * H * W * C
@@ -302,7 +331,7 @@ class CompiledModule:
 
     # -- the reference-style entry point ----------------------------------
     def forward(self, x: np.ndarray, fhe: str = "simulate",
-                drop_limbs: int = 0) -> np.ndarray:
+                drop_limbs: int | None = None) -> np.ndarray:
         """x: float input batch (B, H, W, C) -> float features (B, F).
 
         fhe='simulate': bit-exact integer simulation (fast, clear).
@@ -323,7 +352,9 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
                       calib_absmax: float | None = None,
                       calib_data=None,
                       tfhe_params: TFHEParams | None = None,
-                      pbs_batch: int = 4096) -> CompiledModule:
+                      pbs_batch: int = 4096,
+                      drop_policy: str = "none",
+                      p_error: float = 0.015) -> CompiledModule:
     """End-to-end compile: QAT model -> circuit -> executable module.
 
     Mirrors ``compile_brevitas_qat_model(model.module.feature, calib_data,
@@ -347,7 +378,8 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
     p = tfhe_params or params_for_precision(max_r)
     return CompiledModule(circ, p, pbs_batch=pbs_batch,
-                          rounding_method=method)
+                          rounding_method=method, drop_policy=drop_policy,
+                          p_error=p_error)
 
 
 def compile_ptq_model(params, state, spec, calib_data, *, n_bits: int = 5,
