@@ -13,10 +13,12 @@ from dct_cryptonets_tpu.fhe.params import TEST_PARAMS
 from dct_cryptonets_tpu.fhe.runtime import compile_qat_model
 
 # small custom topology exercising the conv7/s2 + maxpool3/s2 stem shape
+# (kept tiny: the execute test's wall time is ~linear in PBS sites on the
+# 2-vCPU CI host)
 POOLED = ModelSpec(
-    name="pooledqat", block_counts=(1,), widths=(8,), in_channels=3,
-    img_size=16, num_classes=4, bit_width=3, quantized=True,
-    stem_override=StemSpec(3, 1, 1, 3, 2, 8, relu1=True),
+    name="pooledqat", block_counts=(1,), widths=(4,), in_channels=3,
+    img_size=8, num_classes=4, bit_width=3, quantized=True,
+    stem_override=StemSpec(3, 1, 1, 3, 2, 4, relu1=True),
 )
 
 
@@ -40,9 +42,15 @@ def test_pooled_stem_simulator_matches_qat_exactly():
 
 def test_pooled_stem_execute_matches_simulate():
     params, state, x = _prep(POOLED)
-    module = compile_qat_model(params, state, POOLED, n_bits=3,
-                               rounding_threshold_bits=3,
-                               tfhe_params=TEST_PARAMS, pbs_batch=512)
+    # approximate rounding is bit-exact at TEST_PARAMS noise (same
+    # contract test_fhe_e2e relies on; exact-rounding execute parity is
+    # covered by test_exact_rounding) and skips the per-layer
+    # clear_low_bits compiles that dominated this test's wall time;
+    # pbs_batch=128 lets TLU layers share bootstrap executables.
+    module = compile_qat_model(
+        params, state, POOLED, n_bits=3,
+        rounding_threshold_bits={"n_bits": 3, "method": "approximate"},
+        tfhe_params=TEST_PARAMS, pbs_batch=128)
     module.keygen(seed=9)
     xin = np.asarray(x[:1])
     sim = module.forward(xin, fhe="simulate")
