@@ -30,22 +30,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REF_LATENCY_S = 565.0  # reference README.md:84
 
 
-def circuit_pbs_totals(circ):
-    """(main TLU sites, aux extraction bootstraps) per image.
+def circuit_pbs_totals(circ, audit=None):
+    """(main TLU sites split by audit cross choice, aux extractions).
 
     The reference's Concrete compile defaults to EXACT rounding semantics
     (rounding_threshold_bits as an int; homomorphic_eval.py:276-285), whose
     per-TLU cost includes one small-set bootstrap per dropped accumulator
-    bit — so the honest image-latency estimate must count both."""
+    bit — so the honest image-latency estimate must count both.  Returns
+    (sites_cross0, sites_cross1, aux_bits)."""
     from dct_cryptonets_tpu.fhe.circuit import Tlu
     shapes = circ.meta["shapes"]
-    main = aux = 0
+    m0 = m1 = aux = 0
     for op in circ.ops:
         if isinstance(op, Tlu):
             sites = int(np.prod(shapes[op.x]))
-            main += sites
+            if audit is not None and audit.cross_for(op.x):
+                m1 += sites
+            else:
+                m0 += sites
             aux += sites * op.spec.shift
-    return main, aux
+    return m0, m1, aux
 
 
 def build_circuit():
@@ -96,33 +100,86 @@ def get_keys(params, cache_dir=".cache"):
     return ck, preprocess_server_keys(sk)
 
 
+def get_aux_keys(ck, cfg, cache_dir=".cache"):
+    """Extraction keygen with on-disk cache."""
+    from dct_cryptonets_tpu.fhe.keys import (AuxServerKeyMaterial,
+                                             make_aux_server_keys)
+    from dct_cryptonets_tpu.fhe.pbs import preprocess_aux_keys
+
+    os.makedirs(cache_dir, exist_ok=True)
+    a = cfg.aux
+    path = os.path.join(
+        cache_dir, f"bench_aux_n{a.lwe_dim}_k{a.glwe_dim}_N{a.poly_size}"
+                   f"_main{ck.params.poly_size}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        ak = AuxServerKeyMaterial(a, cfg.back_base_log, cfg.back_levels,
+                                  z["bsk"], z["ksk_fwd"], z["ksk_back"])
+    else:
+        t = time.time()
+        ak = make_aux_server_keys(ck, a, seed=2,
+                                  back_base_log=cfg.back_base_log,
+                                  back_levels=cfg.back_levels)
+        print(f"# aux keygen {time.time()-t:.1f}s", file=sys.stderr)
+        np.savez_compressed(path, bsk=ak.bsk, ksk_fwd=ak.ksk_fwd,
+                            ksk_back=ak.ksk_back)
+    return preprocess_aux_keys(ak)
+
+
+def timed_chain(run, ct, iters):
+    """Time a self-chaining ciphertext op (out -> next in): inputs differ
+    every iteration, which defeats the axon platform's replay cache for
+    identical (executable, inputs), and the final scalar fetch forces the
+    whole chain to really execute (block_until_ready alone does not wait
+    for real work here — see PERFORMANCE.md measurement rules)."""
+    t0 = time.time()
+    out = run(ct)
+    _ = int(np.asarray(out.hi[0, 0]))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    cur = ct
+    for _ in range(iters):
+        cur = run(cur)
+    _ = int(np.asarray(cur.hi[0, 0]))
+    return compile_s, (time.time() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from dct_cryptonets_tpu.fhe import torus as T
     from dct_cryptonets_tpu.fhe.circuit import Tlu
     from dct_cryptonets_tpu.fhe.keys import encrypt_lwe
-    from dct_cryptonets_tpu.fhe.params import params_for_precision
-    from dct_cryptonets_tpu.fhe.pbs import bootstrap
+    from dct_cryptonets_tpu.fhe.noise_audit import audit_circuit
+    from dct_cryptonets_tpu.fhe.params import (default_exact_rounding,
+                                               params_for_precision)
+    from dct_cryptonets_tpu.fhe.pbs import bootstrap, clear_low_bits
 
     on_tpu = jax.devices()[0].platform != "cpu"
     # M=2048 is the measured sweet spot on this chip (the old M>=2048
     # worker faults disappeared with the fused Pallas engine).
     M = int(os.environ.get("BENCH_M", 2048 if on_tpu else 64))
     # default drop matches the circuit noise audit's choice for the
-    # flagship (most layers 3, aux 3 — see fhe/noise_audit.py)
+    # flagship (all layers 3, aux 3+cross — see fhe/noise_audit.py)
     drop = int(os.environ.get("BENCH_DROP_LIMBS", 3))
 
     circ = build_circuit()
-    num_pbs, num_aux = circuit_pbs_totals(circ)
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
     params = params_for_precision(max_r)
-    print(f"# circuit: {num_pbs} PBS/image + {num_aux} exact-rounding "
-          f"extractions, max TLU bits {max_r}, "
-          f"max acc bits {circ.max_bit_width()}", file=sys.stderr)
+    cfg = default_exact_rounding(params)
+    # the audit picks the per-layer (drop, cross) knobs under the p_error
+    # contract — the same knobs run_encrypted uses under drop_policy="audit"
+    audit = audit_circuit(circ, params, p_error=0.015, exact_cfg=cfg)
+    m0, m1, num_aux = circuit_pbs_totals(circ, audit)
+    print(f"# circuit: {m0 + m1} PBS/image ({m1} with cross skip) + "
+          f"{num_aux} exact-rounding extractions, max TLU bits {max_r}, "
+          f"max acc bits {circ.max_bit_width()}, "
+          f"audited p_error {audit.max_p_error:.2e}", file=sys.stderr)
     print(f"# params: n={params.lwe_dim} N={params.poly_size} "
           f"l={params.pbs_levels} B=2^{params.pbs_base_log}; M={M} "
-          f"drop_limbs={drop}", file=sys.stderr)
+          f"drop_limbs={drop}; aux n={cfg.aux.lwe_dim} k={cfg.aux.glwe_dim} "
+          f"N={cfg.aux.poly_size} drop={audit.aux_drop_limbs}"
+          f"+x{audit.aux_cross}", file=sys.stderr)
 
     ck, dsk = get_keys(params)
 
@@ -136,48 +193,48 @@ def main():
     tables = jnp.asarray(
         rng.integers(-7, 8, (M, 2 ** bits)).astype(np.int32))
 
-    # The output of a PBS is a big-LWE ciphertext of the same shape as the
-    # input, so iterations CHAIN (out -> next in): inputs differ every
-    # iteration, which defeats the axon platform's replay cache for
-    # identical (executable, inputs), and the final scalar fetch forces
-    # the whole chain to really execute (block_until_ready alone does not
-    # wait for real work here — see PERFORMANCE.md measurement rules).
-    def run(c, t):
-        return bootstrap(c, t, dsk, params, out_delta_log2=params.delta_log2,
-                         drop_limbs=drop)
-
-    # warmup/compile
-    t0 = time.time()
-    out = run(ct, tables)
-    _ = int(np.asarray(out.hi[0, 0]))
-    print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
-
     iters = 3 if on_tpu else 1
-    t0 = time.time()
-    cur = ct
-    for _ in range(iters):
-        cur = run(cur, tables)
-    _ = int(np.asarray(cur.hi[0, 0]))
-    dt = (time.time() - t0) / iters
-    rate = M / dt
+    rates = {}
+    for cross in sorted({0 if m0 else 1, 1 if m1 else 0}):
+        def run(c, cross=cross):
+            return bootstrap(c, tables, dsk, params,
+                             out_delta_log2=params.delta_log2,
+                             drop_limbs=drop, cross=cross)
+        c_s, dt = timed_chain(run, ct, iters)
+        rates[cross] = M / dt
+        print(f"# main cross={cross}: compile {c_s:.1f}s, {dt:.2f}s per "
+              f"{M}-PBS batch -> {rates[cross]:.1f} PBS/s", file=sys.stderr)
 
-    # honest image-latency estimate, reference-default (EXACT) rounding:
-    # aux extraction bootstraps run the same engine on the small aux set;
-    # their blind-rotate work is aux_unit main-PBS units each (the n*N^2
-    # work model tracks the measured ratio within ~25%; tools/bench_aux.py
-    # measures it directly).
-    from dct_cryptonets_tpu.fhe.params import default_exact_rounding
-    aux_p = default_exact_rounding(params).aux
-    aux_unit = (aux_p.lwe_dim * aux_p.poly_size ** 2) / (
-        params.lwe_dim * params.poly_size ** 2)
     mode = os.environ.get("BENCH_MODE", "exact")
-    eq_pbs = num_pbs + (num_aux * aux_unit if mode == "exact" else 0.0)
-    est_latency = eq_pbs / rate
+    aux_s = 0.0
+    if mode == "exact" and num_aux:
+        dak = get_aux_keys(ck, cfg)
+        shift = 4   # representative per-TLU extraction depth (flagship avg)
+
+        def run_aux(c):
+            return clear_low_bits(c, dak, cfg.aux, 13, shift,
+                                  cfg.back_base_log, cfg.back_levels,
+                                  drop_limbs=audit.aux_drop_limbs,
+                                  cross=audit.aux_cross)
+        c_s, dt = timed_chain(run_aux, ct, iters)
+        aux_rate = M * shift / dt
+        aux_s = num_aux / aux_rate
+        print(f"# aux: compile {c_s:.1f}s, {dt:.2f}s per {M}x{shift} "
+              f"extraction batch -> {aux_rate:.1f} extractions/s",
+              file=sys.stderr)
+
+    # honest image-latency estimate from MEASURED rates, reference-default
+    # (EXACT) rounding: per-layer cross-skip main bootstraps + the aux
+    # extraction bootstraps, all as executed by run_encrypted under the
+    # audit policy.
+    main_s = (m0 / rates.get(0, rates.get(1)) +
+              m1 / rates.get(1, rates.get(0)))
+    est_latency = main_s + aux_s
+    rate = (m0 + m1) / main_s
     vs = REF_LATENCY_S / est_latency
-    print(f"# {dt:.2f}s per {M}-PBS batch -> {rate:.1f} PBS/s; "
-          f"{mode}-rounding image cost {eq_pbs:.0f} main-PBS-equiv -> "
-          f"est. latency {est_latency:.1f}s (ref {REF_LATENCY_S}s exact)",
-          file=sys.stderr)
+    print(f"# {mode}-rounding image estimate: main {main_s:.1f}s + "
+          f"extractions {aux_s:.1f}s = {est_latency:.1f}s "
+          f"(ref {REF_LATENCY_S}s exact)", file=sys.stderr)
     print(json.dumps({"metric": "pbs_per_sec", "value": round(rate, 2),
                       "unit": "PBS/s", "vs_baseline": round(vs, 3)}))
 

@@ -36,6 +36,19 @@ from .params import ExactRoundingConfig, NoiseModel, TFHEParams
 
 MAX_DROP = 4   # limb drops >= 5 are catastrophic for every preset
 
+# Throughput knob ladder for one blind rotate, MOST AGGRESSIVE (fewest int8
+# matmuls) first: (drop_limbs, cross).  ``cross=1`` additionally skips the
+# (low digit byte x lowest kept key limb) products (pbs.py blind_rotate
+# ``cross``).  Both the added variance and the matmul count are monotone
+# along the ladder: var(d,1) ~ 4x the marginal variance of limb d-1, so
+# (d,1) sits strictly between (d,0) and (d+1,0).
+KNOB_LADDER = [(d, c) for d in range(MAX_DROP, -1, -1) for c in (1, 0)]
+
+
+def _knob_var(nm: NoiseModel, knob: tuple) -> float:
+    d, c = knob
+    return nm.var_drop_limbs(d) + (nm.var_drop_cross(d) if c else 0.0)
+
 
 def _conv_amp2(w: np.ndarray) -> float:
     """Worst per-output-channel squared-L2 weight sum (variance gain)."""
@@ -52,6 +65,7 @@ class TluReport:
     drop_limbs: int           # chosen main blind-rotate limb drop
     p_window: float           # main window-decision error probability
     p_extract: float          # top extraction-bit guard error (exact mode)
+    cross: int = 0            # chosen main cross skip (pbs.py ``cross``)
 
     @property
     def p_total(self) -> float:
@@ -64,6 +78,7 @@ class AuditResult:
     p_error: float
     rounding_method: str
     aux_drop_limbs: int
+    aux_cross: int = 0
     reports: list = field(default_factory=list)
     by_acc: dict = field(default_factory=dict)
 
@@ -74,14 +89,18 @@ class AuditResult:
     def drop_for(self, acc_name: str) -> int:
         return self.by_acc[acc_name].drop_limbs
 
+    def cross_for(self, acc_name: str) -> int:
+        return self.by_acc[acc_name].cross
+
     def summary(self) -> str:
         lines = [f"noise audit: {len(self.reports)} TLU layers, "
                  f"method={self.rounding_method}, target p_error "
-                 f"{self.p_error}, aux_drop={self.aux_drop_limbs}"]
+                 f"{self.p_error}, aux_drop={self.aux_drop_limbs}"
+                 f"+x{self.aux_cross}"]
         for r in self.reports:
             lines.append(
                 f"  {r.acc:<10} sites={r.sites:<6} r={r.in_bits} "
-                f"shift={r.shift} drop={r.drop_limbs} "
+                f"shift={r.shift} drop={r.drop_limbs}+x{r.cross} "
                 f"p_window={r.p_window:.2e} p_extract={r.p_extract:.2e}")
         lines.append(f"  max per-PBS p_error: {self.max_p_error:.2e}")
         return "\n".join(lines)
@@ -111,15 +130,14 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
     var_enc = 2.0 ** (2 * (enc_noise_log2 if enc_noise_log2 is not None
                            else params.glwe_noise_log2))
 
-    aux_var_bit = 0.0
-    aux_drop = 0
     if rounding_method == "exact":
         if exact_cfg is None:
             from .params import default_exact_rounding
             exact_cfg = default_exact_rounding(params)
         aux_nm = NoiseModel(exact_cfg.aux)
         # noise injected into the accumulator per extracted bit: the aux
-        # blind-rotate output (+ dropped aux limbs) + the back keyswitch
+        # blind-rotate output (+ dropped aux limbs/cross) + the back
+        # keyswitch
         big_n = exact_cfg.aux.glwe_dim * exact_cfg.aux.poly_size
         B = 2.0 ** exact_cfg.back_base_log
         l = exact_cfg.back_levels
@@ -127,11 +145,11 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         var_ks_back = (big_n * l * var_enc * (B * B + 2.0) / 12.0
                        + big_n * (q / B ** l) ** 2 / 24.0)
 
-        def bit_var(d):
-            return (aux_nm.var_blind_rotate() + aux_nm.var_drop_limbs(d)
+        def bit_var(knob):
+            return (aux_nm.var_blind_rotate() + _knob_var(aux_nm, knob)
                     + var_ks_back)
     else:
-        def bit_var(d):
+        def bit_var(knob):
             return 0.0
 
     # ---- forward sensitivity pass: tensor -> {source: amp2}
@@ -169,18 +187,20 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         elif isinstance(op, Output):
             pass
 
-    # ---- choose drops: start at MAX_DROP everywhere, then repair.
-    drop: dict[str, int] = {t.x: MAX_DROP for t in tlus}
+    # ---- choose knobs: start everyone at the most aggressive ladder rung
+    # (fewest matmuls), then repair the worst decision one rung at a time.
+    LAST = len(KNOB_LADDER) - 1
+    ki: dict[str, int] = {t.x: 0 for t in tlus}     # index into KNOB_LADDER
 
     def src_var(name: str) -> float:
         if name == "enc":
             return var_enc
-        return nm.var_blind_rotate() + nm.var_drop_limbs(drop[name])
+        return nm.var_blind_rotate() + _knob_var(nm, KNOB_LADDER[ki[name]])
 
     def decision_p(t: Tlu) -> tuple[float, float]:
         var_in = sum(a2 * src_var(s)
                      for s, a2 in decision_sources[t.x].items())
-        var_in += t.spec.shift * bit_var(aux_drop)
+        var_in += t.spec.shift * bit_var(KNOB_LADDER[aux_ki])
         margin_w = 2.0 ** (62 - t.spec.in_bits)
         p_w = _erfc_z(margin_w, var_in + var_fixed)
         p_x = 0.0
@@ -200,34 +220,38 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
                 wp, wt = p_w + p_x, t
         return wp, wt
 
-    # aux drop: largest value whose per-bit injection keeps the worst
-    # decision within budget (evaluated jointly with main drops below)
-    aux_drop = MAX_DROP if rounding_method == "exact" else 0
+    # aux knob: most aggressive value whose per-bit injection keeps the
+    # worst decision within budget (evaluated jointly with main knobs below)
+    aux_ki = 0 if rounding_method == "exact" else LAST
 
-    for _ in range(len(tlus) * (MAX_DROP + 1) + MAX_DROP + 1):
+    for _ in range((len(tlus) + 1) * (LAST + 1)):
         wp, wt = worst()
         if wp <= p_error or wt is None:
             break
         # lower the knob contributing most variance to the worst decision
-        contrib_aux = wt.spec.shift * bit_var(aux_drop) if aux_drop else 0.0
-        cands = [(s, a2 * nm.var_drop_limbs(drop[s]))
+        contrib_aux = (wt.spec.shift * bit_var(KNOB_LADDER[aux_ki])
+                       if aux_ki < LAST else 0.0)
+        cands = [(s, a2 * _knob_var(nm, KNOB_LADDER[ki[s]]))
                  for s, a2 in decision_sources[wt.x].items()
-                 if s != "enc" and drop[s] > 0]
+                 if s != "enc" and ki[s] < LAST]
         best_src = max(cands, key=lambda kv: kv[1], default=None)
         if best_src and best_src[1] >= contrib_aux:
-            drop[best_src[0]] -= 1
-        elif aux_drop > 0:
-            aux_drop -= 1
+            ki[best_src[0]] += 1
+        elif aux_ki < LAST and rounding_method == "exact":
+            aux_ki += 1
         elif best_src:
-            drop[best_src[0]] -= 1
+            ki[best_src[0]] += 1
         else:
             break   # nothing left to lower — circuit infeasible as-is
 
-    res = AuditResult(params, p_error, rounding_method, aux_drop)
+    aux_drop, aux_cross = (KNOB_LADDER[aux_ki]
+                           if rounding_method == "exact" else (0, 0))
+    res = AuditResult(params, p_error, rounding_method, aux_drop, aux_cross)
     for t in tlus:
         p_w, p_x = decision_p(t)
+        d, c = KNOB_LADDER[ki[t.x]]
         rep = TluReport(t.x, int(np.prod(shapes[t.x])), t.spec.in_bits,
-                        t.spec.shift, drop[t.x], p_w, p_x)
+                        t.spec.shift, d, p_w, p_x, cross=c)
         res.reports.append(rep)
         res.by_acc[t.x] = rep
     return res

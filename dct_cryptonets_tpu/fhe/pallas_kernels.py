@@ -232,7 +232,7 @@ def _shift64_from_i32(v, k):
 
 def _combine_kernel(o0_ref, o1_ref, hi_ref, lo_ref, ohi_ref, olo_ref, *,
                     n_poly: int, glwe_dims: int, limbs: int, drop: int,
-                    dbytes: int):
+                    dbytes: int, cross: int = 0):
     """acc += external-product result, from the raw conv-output buckets.
 
     o_u: (TM, (k+1)*limbs, N) int32 — conv outputs per digit byte u;
@@ -255,7 +255,7 @@ def _combine_kernel(o0_ref, o1_ref, hi_ref, lo_ref, ohi_ref, olo_ref, *,
             o = os_[u]
             for vi in range(limbs):
                 s = u + vi + drop
-                if s >= 8:
+                if s >= 8 or u + vi < cross:
                     continue
                 term = o[:, j * limbs + vi, :]
                 buckets[s] = term if s not in buckets else buckets[s] + term
@@ -268,8 +268,9 @@ def _combine_kernel(o0_ref, o1_ref, hi_ref, lo_ref, ohi_ref, olo_ref, *,
     olo_ref[:] = jnp.stack(out_lo, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("drop", "block_m", "interpret"))
-def combine_accumulate(o0, o1, acc_hi, acc_lo, drop: int,
+@functools.partial(jax.jit, static_argnames=("drop", "cross", "block_m",
+                                             "interpret"))
+def combine_accumulate(o0, o1, acc_hi, acc_lo, drop: int, cross: int = 0,
                        block_m: int = 16, interpret: bool | None = None):
     """acc + recombined external product from conv-output byte buckets.
 
@@ -280,7 +281,7 @@ def combine_accumulate(o0, o1, acc_hi, acc_lo, drop: int,
     M, J, N = acc_hi.shape
     limbs = o0.shape[1] // J
     kernel = functools.partial(_combine_kernel, n_poly=N, glwe_dims=J,
-                               limbs=limbs, drop=drop, dbytes=2)
+                               limbs=limbs, drop=drop, dbytes=2, cross=cross)
     grid = (pl.cdiv(M, block_m),)
     spec_o = pl.BlockSpec((block_m, J * limbs, N), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -365,7 +366,7 @@ def build_bigd_strips(dbl, interpret: bool | None = None):
 def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
                       ohi_ref, olo_ref, toep_ref, bucket_ref, sems, *,
                       n_poly: int, rows: int, L: int, drop: int,
-                      dbytes: int, block_m: int):
+                      dbytes: int, block_m: int, cross: int = 0):
     """One (m-block, j_out, combo) cell of the fused external product.
 
     combo = vi * rows + r walks the (kept key-byte, GGSW row) pairs for one
@@ -424,7 +425,8 @@ def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
         dref = (dB0_ref, dB1_ref)[u]
         si = u + vi                      # bucket index = byte scale - drop
 
-        @pl.when(si < nbuckets)          # scale >= 8 wraps out of q
+        # scale >= 8 wraps out of q; si < cross is the audit's cross skip
+        @pl.when((si < nbuckets) & (si >= cross))
         def _(dref=dref, si=si):
             d = jax.lax.dot(dref[0], toep_ref[...],
                             preferred_element_type=jnp.int32)
@@ -436,8 +438,9 @@ def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
         flush((nbuckets - 1) % 2, nbuckets - 1)     # the last bucket
 
 
-@functools.partial(jax.jit, static_argnames=("drop", "block_m", "interpret"))
-def fused_external(dB0, dB1, bigd, acc_hi, acc_lo, drop: int,
+@functools.partial(jax.jit, static_argnames=("drop", "cross", "block_m",
+                                             "interpret"))
+def fused_external(dB0, dB1, bigd, acc_hi, acc_lo, drop: int, cross: int = 0,
                    block_m: int = 128, interpret: bool | None = None):
     """acc + external product, fully VMEM-resident (the CMUX back half).
 
@@ -461,7 +464,8 @@ def fused_external(dB0, dB1, bigd, acc_hi, acc_lo, drop: int,
     block_m = min(block_m, M)
     grid = (pl.cdiv(M, block_m), J, C)
     kernel = functools.partial(_fused_ext_kernel, n_poly=N, rows=rows, L=L,
-                               drop=drop, dbytes=2, block_m=block_m)
+                               drop=drop, dbytes=2, block_m=block_m,
+                               cross=cross)
     spec_db = pl.BlockSpec((1, block_m, N), lambda m, j, c: (c % rows, m, 0),
                            memory_space=pltpu.VMEM)
     spec_big = pl.BlockSpec(

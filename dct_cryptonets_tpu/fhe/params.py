@@ -109,6 +109,24 @@ class NoiseModel:
         the big-LWE extracted after blind rotate carries only BR noise)."""
         return self.var_blind_rotate()
 
+    def var_drop_cross(self, drop: int) -> float:
+        """Variance added by additionally skipping the (low-digit-byte x
+        lowest-kept-key-limb) products of the external product ("cross
+        skip", fhe/pbs.py ``cross=1``).
+
+        The skipped products are d0 * b_drop * 2^(8*drop) with d0 the low
+        byte of a gadget digit and b the key byte at limb ``drop`` — both
+        balanced bytes (var ~256^2/12).  One fewer int8 matmul per
+        (row, j_out) pair per CMUX step (~11% of the blind rotate at
+        drop=3); the added variance sits ~2^2 above the marginal variance
+        of the last dropped limb, so it is an audit decision, not a free
+        lunch.
+        """
+        p = self.p
+        n, k, N, l = p.lwe_dim, p.glwe_dim, p.poly_size, p.pbs_levels
+        var_byte = (256.0 ** 2) / 12.0
+        return n * (k + 1) * l * N * var_byte * var_byte * 2.0 ** (16 * drop)
+
     def var_drop_limbs(self, drop: int) -> float:
         """Variance added to the blind-rotate output by skipping the low
         ``drop`` BSK byte limbs in the external product (throughput mode).
@@ -184,11 +202,50 @@ _PRESETS = {
                   lwe_noise_log2=40.0, glwe_noise_log2=12.0, message_bits=8),
 }
 
+# Extraction parameter sets (exact-rounding LSB bootstraps).  A sign
+# bootstrap's decision margin is a quarter torus — orders of magnitude wider
+# than any message-carrying TLU's window — so the extraction lattice can be
+# far smaller than the message presets.  The same-security ladder keeps the
+# total GLWE dimension k*N = 1024 at sigma 2^14 (preset-4's GLWE) but trades
+# polynomial size for more mask polynomials: blind-rotate matmul work scales
+# as n * (k+1)^2 * l * N^2, so k=4/N=256 runs ~3x cheaper than k=1/N=1024 at
+# unchanged security and unchanged extracted-bit output noise (the
+# decomposition-remainder term n*(1+kN)/2*(q/B^l)^2/12 depends only on kN).
+# The small-LWE pair (n=630, sigma 2^49, i.e. sigma/q = 2^-15) follows the
+# published TFHE-rs 128-bit shape for that dimension.
+EXTRACT_PRESETS = {
+    "k4n256": TFHEParams(lwe_dim=630, glwe_dim=4, poly_size=256,
+                         pbs_base_log=15, pbs_levels=2, ks_base_log=4,
+                         ks_levels=6, lwe_noise_log2=49.0,
+                         glwe_noise_log2=14.0, message_bits=1),
+    "k2n512": TFHEParams(lwe_dim=630, glwe_dim=2, poly_size=512,
+                         pbs_base_log=15, pbs_levels=2, ks_base_log=4,
+                         ks_levels=6, lwe_noise_log2=49.0,
+                         glwe_noise_log2=14.0, message_bits=1),
+    # the pre-ladder baseline (preset-4 geometry with the cheap small-LWE
+    # pair); kept for measurement comparison
+    "k1n1024": TFHEParams(lwe_dim=630, glwe_dim=1, poly_size=1024,
+                          pbs_base_log=15, pbs_levels=2, ks_base_log=4,
+                          ks_levels=6, lwe_noise_log2=49.0,
+                          glwe_noise_log2=14.0, message_bits=1),
+}
+# measured on the bench chip (tools/bench_aux.py, drop=3, cross=1,
+# block_m=256): k2n512 3200/s, k4n256 2663/s, k1n1024 ~2100/s — the MAC
+# model favors k4n256 (more, smaller matmuls) but per-cell grid overhead at
+# N=256 eats the advantage
+DEFAULT_EXTRACT = "k2n512"
+
 # Tiny insecure parameters for fast unit tests of the runtime mechanics.
 TEST_PARAMS = TFHEParams(lwe_dim=16, glwe_dim=1, poly_size=256,
                          pbs_base_log=15, pbs_levels=2, ks_base_log=4,
                          ks_levels=4, lwe_noise_log2=10.0, glwe_noise_log2=4.0,
                          message_bits=4)
+
+# Tiny k>1 set: exercises the multi-mask-polynomial engine paths in CI.
+TEST_PARAMS_K2 = TFHEParams(lwe_dim=16, glwe_dim=2, poly_size=256,
+                            pbs_base_log=15, pbs_levels=2, ks_base_log=4,
+                            ks_levels=4, lwe_noise_log2=10.0,
+                            glwe_noise_log2=4.0, message_bits=4)
 
 
 def safe_drop_limbs(p: TFHEParams, message_bits: int,
@@ -240,17 +297,20 @@ class ExactRoundingConfig:
 
 
 def default_exact_rounding(main: TFHEParams,
-                           p_error: float = 0.01) -> ExactRoundingConfig:
+                           p_error: float = 0.01,
+                           extract: str | None = None) -> ExactRoundingConfig:
     """Pick an extraction config for a main parameter set.
 
-    The aux set is the 4-bit preset (N=1024); the sign decision has a
-    quarter-torus margin (2^62), so the aux set's KS+MS noise (~2^56) gives
-    an extraction slip probability that is negligible next to any
-    practical per-PBS ``p_error`` contract — asserted here via the noise
-    model.  Test-scale main sets (tiny insecure N) reuse themselves as the
-    aux set so unit tests don't pay production keygen.
+    The aux set comes from ``EXTRACT_PRESETS`` (small-N / multi-mask GLWE —
+    see the table above); the sign decision has a quarter-torus margin
+    (2^62), so the aux set's KS+MS noise (~2^57) gives an extraction slip
+    probability that is negligible next to any practical per-PBS
+    ``p_error`` contract — asserted here via the noise model.  Test-scale
+    main sets (tiny insecure N) reuse themselves as the aux set so unit
+    tests don't pay production keygen.
     """
-    aux = main if main.poly_size <= 512 else _PRESETS[4]
+    aux = (main if main.poly_size <= 512 and main.lwe_dim < 256
+           else EXTRACT_PRESETS[extract or DEFAULT_EXTRACT])
     nm = NoiseModel(aux)
     # forward keyswitch from the main big key: kN_main rows
     big_n = main.glwe_dim * main.poly_size

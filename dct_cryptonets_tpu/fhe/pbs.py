@@ -280,7 +280,8 @@ def toeplitz_from_doubled(dbl: jax.Array) -> jax.Array:
 
 
 def external_product_step_matmul(diff: T.T64, bsk_bytes_i: jax.Array,
-                                 params_tuple, drop_limbs: int):
+                                 params_tuple, drop_limbs: int,
+                                 cross: int = 0):
     """External product via tile/reshape Toeplitz + int8 MXU matmuls.
 
     bsk_bytes_i: ((k+1)*l, k+1, 2N, 8) int8 balanced bytes of [b, -b].
@@ -308,7 +309,7 @@ def external_product_step_matmul(diff: T.T64, bsk_bytes_i: jax.Array,
     for u in range(dbytes):
         for vi in range(8 - drop_limbs):
             s = u + vi + drop_limbs
-            if s >= 8:
+            if s >= 8 or u + vi < cross:
                 continue
             prod = jax.lax.dot(dB[u], mats[vi], preferred_element_type=I32)
             buckets[s] = buckets.get(s, 0) + prod  # (M, (k+1)*N)
@@ -416,7 +417,7 @@ def _bigd_rows(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
 
 
 def external_product_step(diff: T.T64, bsk_kern: jax.Array,
-                          params_tuple, drop_limbs: int):
+                          params_tuple, drop_limbs: int, cross: int = 0):
     """One external product: GGSW_i x (M, k+1, N) GLWE -> (M, k+1, N) GLWE.
 
     Computed as 1-D int8 convolutions on the MXU: the gadget digits of the
@@ -458,7 +459,7 @@ def external_product_step(diff: T.T64, bsk_kern: jax.Array,
         o = o.reshape(M, k + 1, L, N)
         for vi in range(L):
             s = u + vi + drop_limbs
-            if s >= 8:
+            if s >= 8 or u + vi < cross:
                 continue
             buckets[s] = buckets.get(s, 0) + o[:, :, vi]
 
@@ -469,16 +470,18 @@ def external_product_step(diff: T.T64, bsk_kern: jax.Array,
 
 
 def cmux_accumulate(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
-                    params_tuple, drop_limbs: int) -> T.T64:
+                    params_tuple, drop_limbs: int, cross: int = 0) -> T.T64:
     """acc <- acc + GGSW_i x (X^{a_i} acc - acc)  (the CMUX of blind rotate)."""
     rot = negacyclic_rotate_bits(acc, a_i)
     diff = T.sub(rot, acc)
-    ext = external_product_step(diff, bsk_kern_i, params_tuple, drop_limbs)
+    ext = external_product_step(diff, bsk_kern_i, params_tuple, drop_limbs,
+                                cross)
     return T.add(acc, ext)
 
 
 def cmux_accumulate_pallas(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
-                           params_tuple, drop_limbs: int) -> T.T64:
+                           params_tuple, drop_limbs: int,
+                           cross: int = 0) -> T.T64:
     """CMUX with the elementwise stages fused in Pallas VMEM kernels and
     the external product as space-to-depth int8 MXU convs:
     rotate+diff+decompose+byte-split in one pass, strided convs with
@@ -493,12 +496,13 @@ def cmux_accumulate_pallas(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
     dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes)
     o0 = conv_external_s2d(dB[0], bsk_kern_i, k, N, drop_limbs)
     o1 = conv_external_s2d(dB[1], bsk_kern_i, k, N, drop_limbs)
-    nhi, nlo = combine_accumulate(o0, o1, acc.hi, acc.lo, drop_limbs)
+    nhi, nlo = combine_accumulate(o0, o1, acc.hi, acc.lo, drop_limbs, cross)
     return T.T64(nhi, nlo)
 
 
 def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
-                          params_tuple, drop_limbs: int) -> T.T64:
+                          params_tuple, drop_limbs: int,
+                          cross: int = 0) -> T.T64:
     """CMUX with the external product fully fused in one Pallas kernel:
     the Toeplitz-strip matmuls, byte-bucket accumulation, and 64-bit
     recombine+accumulate all stay VMEM-resident; HBM sees only the acc
@@ -515,8 +519,12 @@ def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
     # (the rotate stage is VPU work — block size doesn't affect the MXU)
     dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes,
                           block_m=64, plane_major=True)
+    # small-N lattices (the extraction presets) fit 4x the sample block in
+    # VMEM; bigger blocks amortize the per-cell Toeplitz materialization
+    # that dominates when the per-cell matmul is only ~33 MMAC
+    block_m = 256 if N <= 512 else 128
     nhi, nlo = fused_external(dB[0], dB[1], bigd_i, acc.hi, acc.lo,
-                              drop_limbs)
+                              drop_limbs, cross, block_m=block_m)
     return T.T64(nhi, nlo)
 
 
@@ -532,11 +540,15 @@ def mod_switch(ct_t64: T.T64, N: int) -> jax.Array:
 
 def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
                  bsk_bytes: jax.Array, params: TFHEParams,
-                 drop_limbs: int = 0, engine: str | None = None) -> T.T64:
+                 drop_limbs: int = 0, cross: int = 0,
+                 engine: str | None = None) -> T.T64:
     """Batched blind rotate.
 
     test_poly: (M, N) T64 — per-sample lookup polynomials
     ct_a: (M, n) uint32 mod-switched mask;  ct_b: (M,) uint32 mod-switched body
+    cross: skip external-product byte pairs with digit-byte + key-limb
+           index < cross (the "cross skip"; noise modeled by
+           NoiseModel.var_drop_cross, chosen per layer by the circuit audit)
     engine: 'fused' (Pallas Toeplitz-strip matmuls, default on TPU),
             's2d' (Pallas elementwise stages + XLA space-to-depth convs),
             'conv' (pure XLA, default on CPU).  All bit-identical.
@@ -569,7 +581,8 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
             a_col, bsk_i = inputs
             dbl = _bigd_rows(bsk_i, k, params.pbs_levels, N, drop_limbs)
             bigd = build_bigd_strips(dbl)
-            new = cmux_accumulate_fused(carry, a_col, bigd, pt, drop_limbs)
+            new = cmux_accumulate_fused(carry, a_col, bigd, pt, drop_limbs,
+                                        cross)
             return new, None
 
         a_cols = jnp.transpose(ct_a, (1, 0))         # (n, M)
@@ -583,7 +596,7 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
     def step(carry, inputs):
         a_col, bsk_i = inputs
         kern = expand(bsk_i, k, params.pbs_levels, N, drop_limbs)
-        new = cmux(carry, a_col, kern, pt, drop_limbs)
+        new = cmux(carry, a_col, kern, pt, drop_limbs, cross)
         return new, None
 
     a_cols = jnp.transpose(ct_a, (1, 0))             # (n, M)
@@ -688,10 +701,11 @@ def make_test_polys(tables: jax.Array, params: TFHEParams,
 
 
 @partial(jax.jit, static_argnames=("params", "out_delta_log2", "drop_limbs",
-                                   "engine"))
+                                   "cross", "engine"))
 def bootstrap(ct: T.T64, tables: jax.Array, dsk: DeviceServerKeys,
               params: TFHEParams, out_delta_log2: int,
-              drop_limbs: int = 0, engine: str | None = None) -> T.T64:
+              drop_limbs: int = 0, cross: int = 0,
+              engine: str | None = None) -> T.T64:
     """Batched programmable bootstrap, Concrete order: KS -> MS -> BR -> SE.
 
     Activations live as big-LWE (dim kN) so that levelled dot products
@@ -709,7 +723,7 @@ def bootstrap(ct: T.T64, tables: jax.Array, dsk: DeviceServerKeys,
     ms = mod_switch(small, N)                        # (M, n+1) uint32
     test = make_test_polys(tables, params, out_delta_log2)
     acc = blind_rotate(test, ms[:, :n], ms[:, n], dsk.bsk_bytes, params,
-                       drop_limbs, engine=engine)
+                       drop_limbs, cross, engine=engine)
     return sample_extract(acc, params)
 
 
@@ -759,11 +773,12 @@ def preprocess_aux_keys(ak) -> DeviceAuxKeys:
 
 @partial(jax.jit, static_argnames=("aux_params", "n_in", "shift",
                                    "back_base_log", "back_levels",
-                                   "drop_limbs", "engine"))
+                                   "drop_limbs", "cross", "engine"))
 def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
                    aux_params: TFHEParams, n_in: int, shift: int,
                    back_base_log: int, back_levels: int,
-                   drop_limbs: int = 0, engine: str | None = None) -> T.T64:
+                   drop_limbs: int = 0, cross: int = 0,
+                   engine: str | None = None) -> T.T64:
     """Subtract the low ``shift`` bits of an n_in-bit-encoded accumulator.
 
     ct: (M, kN_main+1) big-LWE whose phase encodes v * 2^(63 - n_in),
@@ -794,7 +809,7 @@ def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
             jnp.ones((M, N_aux), jnp.int32), h_log2))
         acc = blind_rotate(neg_h, ms[:, :n_aux], ms[:, n_aux],
                            aux_keys.bsk_bytes, aux_params, drop_limbs,
-                           engine=engine)
+                           cross, engine=engine)
         bit_big = sample_extract(acc, aux_params)     # aux big key
         hb = T.add(T.T64(bit_big.hi[:, -1:], bit_big.lo[:, -1:]),
                    T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), h_log2))

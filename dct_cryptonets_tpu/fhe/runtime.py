@@ -96,6 +96,8 @@ class CompiledModule:
     # low BSK byte limbs skipped in extraction blind rotates; None = pick
     # the largest noise-safe value from the NoiseModel at keygen
     aux_drop_limbs: int | None = None
+    # cross skip for extraction blind rotates (pbs.py ``cross``)
+    aux_cross: int = 0
     # "none": no limbs dropped anywhere (bit-exact vs the simulator while
     #   ciphertext noise stays below half an accumulator LSB — the unit-test
     #   contract); "audit": per-TLU-layer limb drops chosen by the circuit
@@ -149,7 +151,9 @@ class CompiledModule:
                 # limb noise is checked against every decision margin);
                 # otherwise keep the bit-exact contract (no drops).
                 if self.drop_policy == "audit":
-                    self.aux_drop_limbs = self.run_audit().aux_drop_limbs
+                    audit = self.run_audit()
+                    self.aux_drop_limbs = audit.aux_drop_limbs
+                    self.aux_cross = audit.aux_cross
                 else:
                     self.aux_drop_limbs = 0
         self.stats["keygen_time"] = time.time() - t
@@ -267,10 +271,13 @@ class CompiledModule:
         return result
 
     def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int | None) -> T.T64:
+        cross = 0
         if drop_limbs is None:
-            drop_limbs = (self.audit.drop_for(op.x)
-                          if self.drop_policy == "audit" and self.audit
-                          else 0)
+            if self.drop_policy == "audit" and self.audit:
+                drop_limbs = self.audit.drop_for(op.x)
+                cross = self.audit.cross_for(op.x)
+            else:
+                drop_limbs = 0
         spec = op.spec
         B, n1, H, W, C = ct.hi.shape
         M = B * H * W * C
@@ -315,12 +322,12 @@ class CompiledModule:
                 chunk = clear_low_bits(
                     chunk, self.aux_keys, cfg.aux, n_in, spec.shift,
                     cfg.back_base_log, cfg.back_levels,
-                    drop_limbs=self.aux_drop_limbs)
+                    drop_limbs=self.aux_drop_limbs, cross=self.aux_cross)
                 self.stats["aux_pbs_executed"] = (
                     self.stats.get("aux_pbs_executed", 0)
                     + spec.shift * (e - s))
             res = bootstrap(chunk, site_tables[s:e], self.device_keys,
-                            self.params, out_delta, drop_limbs)
+                            self.params, out_delta, drop_limbs, cross)
             outs_hi.append(res.hi)
             outs_lo.append(res.lo)
         out = T.T64(jnp.concatenate(outs_hi, 0), jnp.concatenate(outs_lo, 0))

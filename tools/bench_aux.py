@@ -8,7 +8,9 @@ exact-rounding (Concrete-default) encrypted inference, so the bench's
 image-latency estimate should use the MEASURED rate, not the n*N^2 model.
 
 Env: BENCH_M (default 2048), BENCH_SHIFT (bits cleared per call, default 4),
-     BENCH_AUX_DROP (default: keygen's noise-safe pick).
+     BENCH_AUX_DROP (default 3), BENCH_AUX_CROSS (default 0),
+     BENCH_EXTRACT (extraction preset name from params.EXTRACT_PRESETS,
+     default params.DEFAULT_EXTRACT).
 """
 import os
 import sys
@@ -31,11 +33,17 @@ def main():
     M = int(os.environ.get("BENCH_M", 2048))
     shift = int(os.environ.get("BENCH_SHIFT", 4))
     params = params_for_precision(6)
-    cfg = default_exact_rounding(params)
+    cfg = default_exact_rounding(
+        params, extract=os.environ.get("BENCH_EXTRACT") or None)
     drop = int(os.environ.get("BENCH_AUX_DROP", 3))
+    cross = int(os.environ.get("BENCH_AUX_CROSS", 0))
     n_in = 13
+    print(f"# aux set: n={cfg.aux.lwe_dim} k={cfg.aux.glwe_dim} "
+          f"N={cfg.aux.poly_size} drop={drop} cross={cross}",
+          file=sys.stderr)
 
     cache = (f".cache/bench_aux_keys_n{cfg.aux.lwe_dim}"
+             f"_k{cfg.aux.glwe_dim}"
              f"_N{cfg.aux.poly_size}_b{cfg.aux.pbs_base_log}.npz")
     os.makedirs(".cache", exist_ok=True)
     ck = keygen(params, seed=0)
@@ -64,7 +72,7 @@ def main():
     def run(c):
         return clear_low_bits(c, dak, cfg.aux, n_in, shift,
                               cfg.back_base_log, cfg.back_levels,
-                              drop_limbs=drop)
+                              drop_limbs=drop, cross=cross)
 
     t0 = time.time()
     out = run(ct)
