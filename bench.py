@@ -71,9 +71,12 @@ def build_circuit():
     _, _, state = forward(params, state, x, spec, train=True)
     # calibration-based accumulator budgets, like the reference compile
     # (it always passes a calibration batch; homomorphic_eval.py:259-285) —
-    # smaller budgets mean fewer exact-rounding extraction bits
+    # smaller budgets mean fewer exact-rounding extraction bits.
+    # range_margin=1.0 is what Concrete-ML does (exact observed ranges), so
+    # the latency estimate is apples-to-apples with the 565 s reference run;
+    # the compiler's safer default is 2.0 (one extra bit per accumulator).
     circ = lower(params, state, spec, rounding_threshold_bits=6,
-                 calib_data=x)
+                 calib_data=x, range_margin=1.0)
     return circ
 
 

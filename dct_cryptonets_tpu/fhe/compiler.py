@@ -161,6 +161,13 @@ def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
     from observed calibration ranges (x ``range_margin``) instead of
     worst-case weight bounds — like Concrete's calibration, and required
     for the deeper nets whose worst-case bounds exceed 16 bits.
+
+    ``range_margin``: safety factor on the observed ranges.  Concrete-ML
+    calibrates with the exact observed min/max (margin 1.0) and accepts
+    that out-of-range accumulators at eval time wrap the PBS phase; the
+    default 2.0 spends one extra accumulator bit per TLU (= one extra
+    exact-rounding extraction bootstrap per site, ~9% of flagship image
+    latency) to make that failure mode an order of magnitude rarer.
     """
     circ = _lower_once(params, state, spec, n_bits=n_bits,
                        rounding_threshold_bits=rounding_threshold_bits,
@@ -170,7 +177,9 @@ def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
     from .circuit import collect_acc_ranges
     import jax.numpy as jnp
     ranges = collect_acc_ranges(circ, jnp.asarray(calib_data))
-    bounds = {name: max(1, int(v * range_margin)) for name, v in ranges.items()}
+    # ceil: the bound must cover the observed range even at margin 1.0
+    bounds = {name: max(1, int(np.ceil(v * range_margin)))
+              for name, v in ranges.items()}
     return _lower_once(params, state, spec, n_bits=n_bits,
                        rounding_threshold_bits=rounding_threshold_bits,
                        calib_absmax=calib_absmax, bounds_override=bounds)

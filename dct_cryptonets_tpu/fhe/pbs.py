@@ -518,7 +518,7 @@ def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
     # block_m=64 keeps the doubled-negated rotation buffers inside VMEM
     # (the rotate stage is VPU work — block size doesn't affect the MXU)
     dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes,
-                          block_m=64, plane_major=True)
+                          block_m=64 if N > 512 else 128, plane_major=True)
     # small-N lattices (the extraction presets) fit 4x the sample block in
     # VMEM; bigger blocks amortize the per-cell Toeplitz materialization
     # that dominates when the per-cell matmul is only ~33 MMAC

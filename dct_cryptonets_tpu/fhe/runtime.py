@@ -361,7 +361,8 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
                       tfhe_params: TFHEParams | None = None,
                       pbs_batch: int = 4096,
                       drop_policy: str = "none",
-                      p_error: float = 0.015) -> CompiledModule:
+                      p_error: float = 0.015,
+                      range_margin: float = 2.0) -> CompiledModule:
     """End-to-end compile: QAT model -> circuit -> executable module.
 
     Mirrors ``compile_brevitas_qat_model(model.module.feature, calib_data,
@@ -381,7 +382,8 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
     assert method in ("exact", "approximate"), method
     circ = lower(params, state, spec, n_bits=n_bits,
                  rounding_threshold_bits=rounding_threshold_bits,
-                 calib_absmax=calib_absmax, calib_data=calib_data)
+                 calib_absmax=calib_absmax, calib_data=calib_data,
+                 range_margin=range_margin)
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
     p = tfhe_params or params_for_precision(max_r)
     return CompiledModule(circ, p, pbs_batch=pbs_batch,
