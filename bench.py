@@ -31,25 +31,25 @@ REF_LATENCY_S = 565.0  # reference README.md:84
 
 
 def circuit_pbs_totals(circ, audit=None):
-    """(main TLU sites split by audit cross choice, aux extractions).
+    """(main TLU sites per audited (drop, cross) knob, aux extractions).
 
     The reference's Concrete compile defaults to EXACT rounding semantics
     (rounding_threshold_bits as an int; homomorphic_eval.py:276-285), whose
     per-TLU cost includes one small-set bootstrap per dropped accumulator
     bit — so the honest image-latency estimate must count both.  Returns
-    (sites_cross0, sites_cross1, aux_bits)."""
+    ({(drop, cross): sites}, aux_bits)."""
     from dct_cryptonets_tpu.fhe.circuit import Tlu
     shapes = circ.meta["shapes"]
-    m0 = m1 = aux = 0
+    by_knob: dict = {}
+    aux = 0
     for op in circ.ops:
         if isinstance(op, Tlu):
             sites = int(np.prod(shapes[op.x]))
-            if audit is not None and audit.cross_for(op.x):
-                m1 += sites
-            else:
-                m0 += sites
+            knob = ((audit.drop_for(op.x), audit.cross_for(op.x))
+                    if audit is not None else (0, 0))
+            by_knob[knob] = by_knob.get(knob, 0) + sites
             aux += sites * op.spec.shift
-    return m0, m1, aux
+    return by_knob, aux
 
 
 def build_circuit():
@@ -162,9 +162,6 @@ def main():
     # M=2048 is the measured sweet spot on this chip (the old M>=2048
     # worker faults disappeared with the fused Pallas engine).
     M = int(os.environ.get("BENCH_M", 2048 if on_tpu else 64))
-    # default drop matches the circuit noise audit's choice for the
-    # flagship (all layers 3, aux 3+cross — see fhe/noise_audit.py)
-    drop = int(os.environ.get("BENCH_DROP_LIMBS", 3))
 
     circ = build_circuit()
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
@@ -173,14 +170,15 @@ def main():
     # the audit picks the per-layer (drop, cross) knobs under the p_error
     # contract — the same knobs run_encrypted uses under drop_policy="audit"
     audit = audit_circuit(circ, params, p_error=0.015, exact_cfg=cfg)
-    m0, m1, num_aux = circuit_pbs_totals(circ, audit)
-    print(f"# circuit: {m0 + m1} PBS/image ({m1} with cross skip) + "
-          f"{num_aux} exact-rounding extractions, max TLU bits {max_r}, "
+    by_knob, num_aux = circuit_pbs_totals(circ, audit)
+    num_pbs = sum(by_knob.values())
+    print(f"# circuit: {num_pbs} PBS/image at knobs {sorted(by_knob.items())}"
+          f" + {num_aux} exact-rounding extractions, max TLU bits {max_r}, "
           f"max acc bits {circ.max_bit_width()}, "
           f"audited p_error {audit.max_p_error:.2e}", file=sys.stderr)
     print(f"# params: n={params.lwe_dim} N={params.poly_size} "
-          f"l={params.pbs_levels} B=2^{params.pbs_base_log}; M={M} "
-          f"drop_limbs={drop}; aux n={cfg.aux.lwe_dim} k={cfg.aux.glwe_dim} "
+          f"l={params.pbs_levels} B=2^{params.pbs_base_log}; M={M}; "
+          f"aux n={cfg.aux.lwe_dim} k={cfg.aux.glwe_dim} "
           f"N={cfg.aux.poly_size} drop={audit.aux_drop_limbs}"
           f"+x{audit.aux_cross}", file=sys.stderr)
 
@@ -198,15 +196,18 @@ def main():
 
     iters = 3 if on_tpu else 1
     rates = {}
-    for cross in sorted({0 if m0 else 1, 1 if m1 else 0}):
-        def run(c, cross=cross):
+    for knob in sorted(by_knob):
+        drop, cross = knob
+
+        def run(c, drop=drop, cross=cross):
             return bootstrap(c, tables, dsk, params,
                              out_delta_log2=params.delta_log2,
                              drop_limbs=drop, cross=cross)
         c_s, dt = timed_chain(run, ct, iters)
-        rates[cross] = M / dt
-        print(f"# main cross={cross}: compile {c_s:.1f}s, {dt:.2f}s per "
-              f"{M}-PBS batch -> {rates[cross]:.1f} PBS/s", file=sys.stderr)
+        rates[knob] = M / dt
+        print(f"# main drop={drop}+x{cross}: compile {c_s:.1f}s, {dt:.2f}s "
+              f"per {M}-PBS batch -> {rates[knob]:.1f} PBS/s",
+              file=sys.stderr)
 
     mode = os.environ.get("BENCH_MODE", "exact")
     aux_s = 0.0
@@ -227,13 +228,12 @@ def main():
               file=sys.stderr)
 
     # honest image-latency estimate from MEASURED rates, reference-default
-    # (EXACT) rounding: per-layer cross-skip main bootstraps + the aux
+    # (EXACT) rounding: per-layer audited-knob main bootstraps + the aux
     # extraction bootstraps, all as executed by run_encrypted under the
     # audit policy.
-    main_s = (m0 / rates.get(0, rates.get(1)) +
-              m1 / rates.get(1, rates.get(0)))
+    main_s = sum(sites / rates[knob] for knob, sites in by_knob.items())
     est_latency = main_s + aux_s
-    rate = (m0 + m1) / main_s
+    rate = num_pbs / main_s
     vs = REF_LATENCY_S / est_latency
     print(f"# {mode}-rounding image estimate: main {main_s:.1f}s + "
           f"extractions {aux_s:.1f}s = {est_latency:.1f}s "

@@ -109,6 +109,23 @@ class NoiseModel:
         the big-LWE extracted after blind rotate carries only BR noise)."""
         return self.var_blind_rotate()
 
+    def _drop_components(self) -> float:
+        """Phase-error multiplier of a BSK coefficient perturbation.
+
+        Perturbing a GGSW by Delta (dropping low coefficient bytes) adds
+        d (x) Delta to the output GLWE.  The BODY component's perturbation
+        hits the phase directly (an N-term polynomial convolution); a MASK
+        component's perturbation delta_a additionally convolves with the
+        binary GLWE key at decryption (phase -= delta_a * s), multiplying
+        its variance by ~N/2 (key density 1/2).  The old (k+1) "all
+        components equal" model underestimated measured drop noise by 2^5
+        in sigma at k=1/N=2048 (tools/measure_drop_noise.py on the bench
+        chip: drop=3 measured 2^51.8 vs 2^46.8 modeled; this formula gives
+        2^51.3).
+        """
+        p = self.p
+        return 1.0 + p.glwe_dim * p.poly_size / 2.0
+
     def var_drop_cross(self, drop: int) -> float:
         """Variance added by additionally skipping the (low-digit-byte x
         lowest-kept-key-limb) products of the external product ("cross
@@ -118,14 +135,14 @@ class NoiseModel:
         byte of a gadget digit and b the key byte at limb ``drop`` — both
         balanced bytes (var ~256^2/12).  One fewer int8 matmul per
         (row, j_out) pair per CMUX step (~11% of the blind rotate at
-        drop=3); the added variance sits ~2^2 above the marginal variance
-        of the last dropped limb, so it is an audit decision, not a free
-        lunch.
+        drop=3).  Validated on-chip: drop=3+cross measured sigma 2^53.0
+        vs 2^52.8 modeled.
         """
         p = self.p
-        n, k, N, l = p.lwe_dim, p.glwe_dim, p.poly_size, p.pbs_levels
+        n, N, l = p.lwe_dim, p.poly_size, p.pbs_levels
         var_byte = (256.0 ** 2) / 12.0
-        return n * (k + 1) * l * N * var_byte * var_byte * 2.0 ** (16 * drop)
+        return (n * l * N * var_byte * var_byte * 2.0 ** (16 * drop)
+                * self._drop_components())
 
     def var_drop_limbs(self, drop: int) -> float:
         """Variance added to the blind-rotate output by skipping the low
@@ -134,14 +151,18 @@ class NoiseModel:
         Each dropped (digit, key-byte) product contributes
         d * b * 2^(8v) with d a balanced gadget digit (var (B^2+2)/12) and
         b a balanced byte (var ~256^2/12), summed over the n CMUX steps,
-        (k+1)*l gadget rows and N polynomial positions.
+        l gadget levels, N polynomial positions, and the component factor
+        of :meth:`_drop_components`.  Validated on-chip: drop=3 measured
+        sigma 2^51.8 vs 2^51.3 modeled (constant-table isolation,
+        tools/measure_drop_noise.py).
         """
         p = self.p
-        n, k, N, l = p.lwe_dim, p.glwe_dim, p.poly_size, p.pbs_levels
+        n, N, l = p.lwe_dim, p.poly_size, p.pbs_levels
         var_digit = (2.0 ** (2 * p.pbs_base_log) + 2.0) / 12.0
         var_byte = (256.0 ** 2) / 12.0
         scale = sum(2.0 ** (16 * v) for v in range(drop))
-        return n * (k + 1) * l * N * var_digit * var_byte * scale
+        return (n * l * N * var_digit * var_byte * scale
+                * self._drop_components())
 
     # -- error probability
 

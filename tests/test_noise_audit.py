@@ -80,8 +80,12 @@ class TestNoiseAudit:
         assert res.max_p_error <= 0.015
         assert all(0 <= r.drop_limbs <= MAX_DROP for r in res.reports)
         # with the base-2^15 gadget the audit affords aggressive drops
+        # (median 2 under the mask-perturbation-corrected drop model —
+        # dropped BSK mask bytes convolve with the GLWE key at decryption,
+        # a ~kN/2 variance factor validated on-chip,
+        # tools/measure_drop_noise.py)
         assert res.aux_drop_limbs >= 2
-        assert np.median([r.drop_limbs for r in res.reports]) >= 3
+        assert np.median([r.drop_limbs for r in res.reports]) >= 2
         # every TLU layer is reported exactly once
         tlus = [op for op in circ.ops if isinstance(op, Tlu)]
         assert len(res.reports) == len(tlus)
