@@ -180,7 +180,8 @@ def main():
           f"l={params.pbs_levels} B=2^{params.pbs_base_log}; M={M}; "
           f"aux n={cfg.aux.lwe_dim} k={cfg.aux.glwe_dim} "
           f"N={cfg.aux.poly_size} drop={audit.aux_drop_limbs}"
-          f"+x{audit.aux_cross}", file=sys.stderr)
+          f"+x{audit.aux_cross} ks_drop fwd={audit.aux_fwd_ks_drop}"
+          f"/back={audit.aux_back_ks_drop}", file=sys.stderr)
 
     ck, dsk = get_keys(params)
 
@@ -219,7 +220,9 @@ def main():
             return clear_low_bits(c, dak, cfg.aux, 13, shift,
                                   cfg.back_base_log, cfg.back_levels,
                                   drop_limbs=audit.aux_drop_limbs,
-                                  cross=audit.aux_cross)
+                                  cross=audit.aux_cross,
+                                  fwd_ks_drop=audit.aux_fwd_ks_drop,
+                                  back_ks_drop=audit.aux_back_ks_drop)
         c_s, dt = timed_chain(run_aux, ct, iters)
         aux_rate = M * shift / dt
         aux_s = num_aux / aux_rate

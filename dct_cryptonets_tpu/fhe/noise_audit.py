@@ -79,6 +79,10 @@ class AuditResult:
     rounding_method: str
     aux_drop_limbs: int
     aux_cross: int = 0
+    # truncated-KSK limb drops for the extraction pipeline's two keyswitch
+    # hops (pbs.lwe_key_switch ``ks_drop``; NoiseModel.var_ks_drop)
+    aux_fwd_ks_drop: int = 0
+    aux_back_ks_drop: int = 0
     reports: list = field(default_factory=list)
     by_acc: dict = field(default_factory=dict)
 
@@ -130,20 +134,46 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
     var_enc = 2.0 ** (2 * (enc_noise_log2 if enc_noise_log2 is not None
                            else params.glwe_noise_log2))
 
+    aux_fwd_ks_drop = aux_back_ks_drop = 0
     if rounding_method == "exact":
         if exact_cfg is None:
             from .params import default_exact_rounding
             exact_cfg = default_exact_rounding(params)
-        aux_nm = NoiseModel(exact_cfg.aux)
+        aux = exact_cfg.aux
+        aux_nm = NoiseModel(aux)
         # noise injected into the accumulator per extracted bit: the aux
         # blind-rotate output (+ dropped aux limbs/cross) + the back
-        # keyswitch
-        big_n = exact_cfg.aux.glwe_dim * exact_cfg.aux.poly_size
+        # keyswitch (+ its truncated-KSK limbs)
+        big_n = aux.glwe_dim * aux.poly_size
+        main_big_n = params.glwe_dim * params.poly_size
         B = 2.0 ** exact_cfg.back_base_log
         l = exact_cfg.back_levels
         q = 2.0 ** 64
         var_ks_back = (big_n * l * var_enc * (B * B + 2.0) / 12.0
                        + big_n * (q / B ** l) ** 2 / 24.0)
+
+        def pick_ks_drop(rows, n_dst, base, cap_var):
+            d = 0
+            for t in range(1, 7):
+                if NoiseModel.var_ks_drop(rows, n_dst, base, t) <= cap_var:
+                    d = t
+            return d
+
+        # fwd hop noise sits on the extraction SIGN decision whose margin
+        # is a quarter torus (2^62): capping the added variance at 2^112
+        # keeps its z-contribution >= 32 sigma — negligible next to the
+        # shifted accumulator noise p_extract already accounts
+        aux_fwd_ks_drop = pick_ks_drop(main_big_n * aux.ks_levels,
+                                       aux.lwe_dim, aux.ks_base_log,
+                                       2.0 ** 112)
+        # back hop noise joins bit_var below; cap at ~4x the aux
+        # blind-rotate variance so it never dominates the injection term
+        aux_back_ks_drop = pick_ks_drop(big_n * l, main_big_n,
+                                        exact_cfg.back_base_log,
+                                        aux_nm.var_blind_rotate() * 4.0)
+        var_ks_back += NoiseModel.var_ks_drop(big_n * l, main_big_n,
+                                              exact_cfg.back_base_log,
+                                              aux_back_ks_drop)
 
         def bit_var(knob):
             return (aux_nm.var_blind_rotate() + _knob_var(aux_nm, knob)
@@ -246,7 +276,8 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
 
     aux_drop, aux_cross = (KNOB_LADDER[aux_ki]
                            if rounding_method == "exact" else (0, 0))
-    res = AuditResult(params, p_error, rounding_method, aux_drop, aux_cross)
+    res = AuditResult(params, p_error, rounding_method, aux_drop, aux_cross,
+                      aux_fwd_ks_drop, aux_back_ks_drop)
     for t in tlus:
         p_w, p_x = decision_p(t)
         d, c = KNOB_LADDER[ki[t.x]]

@@ -164,6 +164,23 @@ class NoiseModel:
         return (n * l * N * var_digit * var_byte * scale
                 * self._drop_components())
 
+    @staticmethod
+    def var_ks_drop(rows: int, n_dst: int, base_log: int, drop: int) -> float:
+        """Variance added by skipping the low ``drop`` byte limbs of a
+        keyswitch key in :func:`~.pbs.lwe_key_switch`.
+
+        Each skipped (digit, KSK-byte) product perturbs the output by
+        d * delta with d a gadget digit of the decomposed input
+        (var (B^2+2)/12) and delta a balanced byte at scale 2^(8v).
+        Perturbing a MASK coordinate of a KSK row additionally convolves
+        with the destination binary key at decryption (n_dst/2 terms),
+        the same mechanism as :meth:`_drop_components`.
+        """
+        var_digit = (2.0 ** (2 * base_log) + 2.0) / 12.0
+        var_byte = (256.0 ** 2) / 12.0
+        scale = sum(2.0 ** (16 * v) for v in range(drop))
+        return rows * var_digit * var_byte * scale * (1.0 + n_dst / 2.0)
+
     # -- error probability
 
     def pbs_error_probability(self, message_bits: int,

@@ -635,7 +635,7 @@ def key_switch(big_ct: T.T64, ksk_bytes: jax.Array,
 
 
 def lwe_key_switch(ct: T.T64, ksk_bytes: jax.Array, blog: int,
-                   levels: int) -> T.T64:
+                   levels: int, ks_drop: int = 0) -> T.T64:
     """Generic LWE->LWE keyswitch: (M, d_src+1) -> (M, d_dst+1).
 
     out = (0, .., 0, b) - sum_{i, level} d_{i,level} * KSK[i, level]
@@ -643,6 +643,11 @@ def lwe_key_switch(ct: T.T64, ksk_bytes: jax.Array, blog: int,
     ksk_bytes: (d_src * levels, d_dst + 1, 8) int8 balanced byte limbs.
     Dimensions are inferred from the key shape, so the same code serves the
     PBS keyswitch and the cross-key hops of exact rounding / partitions.
+
+    ks_drop: skip the low ``ks_drop`` byte limbs of the key (truncated-KSK
+    throughput mode — each dropped limb cuts one (M, d_src*l) x
+    (d_src*l, d_dst+1) matmul and its HBM stream; added noise per
+    NoiseModel.var_ks_drop, chosen by the circuit audit).
     """
     kN = ksk_bytes.shape[0] // levels      # d_src
     n = ksk_bytes.shape[1] - 1             # d_dst
@@ -659,7 +664,7 @@ def lwe_key_switch(ct: T.T64, ksk_bytes: jax.Array, blog: int,
 
     buckets: dict[int, jax.Array] = {}
     for u in range(dbytes):
-        for v in range(8):
+        for v in range(ks_drop, 8):
             s = u + v
             if s >= 8:
                 continue
@@ -773,11 +778,13 @@ def preprocess_aux_keys(ak) -> DeviceAuxKeys:
 
 @partial(jax.jit, static_argnames=("aux_params", "n_in", "shift",
                                    "back_base_log", "back_levels",
-                                   "drop_limbs", "cross", "engine"))
+                                   "drop_limbs", "cross", "fwd_ks_drop",
+                                   "back_ks_drop", "engine"))
 def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
                    aux_params: TFHEParams, n_in: int, shift: int,
                    back_base_log: int, back_levels: int,
                    drop_limbs: int = 0, cross: int = 0,
+                   fwd_ks_drop: int = 0, back_ks_drop: int = 0,
                    engine: str | None = None) -> T.T64:
     """Subtract the low ``shift`` bits of an n_in-bit-encoded accumulator.
 
@@ -800,7 +807,8 @@ def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
         t = T.T64(jnp.concatenate([t.hi[:, :-1], body.hi], axis=1),
                   jnp.concatenate([t.lo[:, :-1], body.lo], axis=1))
         small = lwe_key_switch(t, aux_keys.ksk_fwd_bytes,
-                               aux_params.ks_base_log, aux_params.ks_levels)
+                               aux_params.ks_base_log, aux_params.ks_levels,
+                               fwd_ks_drop)
         ms = mod_switch(small, N_aux)
         # constant test poly -h with h = Delta_out / 2 = 2^(62 - n_in + lo):
         # BR constant coeff = -h (b=0) / +h (b=1); +h makes it b * 2h.
@@ -816,6 +824,6 @@ def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
         bit_big = T.T64(jnp.concatenate([bit_big.hi[:, :-1], hb.hi], axis=1),
                         jnp.concatenate([bit_big.lo[:, :-1], hb.lo], axis=1))
         bit_main = lwe_key_switch(bit_big, aux_keys.ksk_back_bytes,
-                                  back_base_log, back_levels)
+                                  back_base_log, back_levels, back_ks_drop)
         w = T.sub(w, bit_main)
     return w

@@ -98,6 +98,9 @@ class CompiledModule:
     aux_drop_limbs: int | None = None
     # cross skip for extraction blind rotates (pbs.py ``cross``)
     aux_cross: int = 0
+    # truncated-KSK limb drops for the extraction keyswitch hops
+    aux_fwd_ks_drop: int = 0
+    aux_back_ks_drop: int = 0
     # "none": no limbs dropped anywhere (bit-exact vs the simulator while
     #   ciphertext noise stays below half an accumulator LSB — the unit-test
     #   contract); "audit": per-TLU-layer limb drops chosen by the circuit
@@ -154,6 +157,8 @@ class CompiledModule:
                     audit = self.run_audit()
                     self.aux_drop_limbs = audit.aux_drop_limbs
                     self.aux_cross = audit.aux_cross
+                    self.aux_fwd_ks_drop = audit.aux_fwd_ks_drop
+                    self.aux_back_ks_drop = audit.aux_back_ks_drop
                 else:
                     self.aux_drop_limbs = 0
         self.stats["keygen_time"] = time.time() - t
@@ -322,7 +327,9 @@ class CompiledModule:
                 chunk = clear_low_bits(
                     chunk, self.aux_keys, cfg.aux, n_in, spec.shift,
                     cfg.back_base_log, cfg.back_levels,
-                    drop_limbs=self.aux_drop_limbs, cross=self.aux_cross)
+                    drop_limbs=self.aux_drop_limbs, cross=self.aux_cross,
+                    fwd_ks_drop=self.aux_fwd_ks_drop,
+                    back_ks_drop=self.aux_back_ks_drop)
                 self.stats["aux_pbs_executed"] = (
                     self.stats.get("aux_pbs_executed", 0)
                     + spec.shift * (e - s))

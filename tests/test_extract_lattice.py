@@ -165,3 +165,54 @@ def test_audit_uses_knob_ladder():
         # audit accessor parity
         assert res.drop_for(r.acc) == r.drop_limbs
         assert res.cross_for(r.acc) == r.cross
+
+
+def test_clear_low_bits_ks_drop_still_correct():
+    """Truncated-KSK extraction at TEST noise: dropped KSK limbs add noise
+    far below the test margins, so the cleared value is unchanged."""
+    main_ck = K.keygen(TEST_PARAMS, seed=3)
+    cfg = ExactRoundingConfig(TEST_PARAMS_K2)
+    ak = K.make_aux_server_keys(main_ck, cfg.aux, seed=4,
+                                back_base_log=cfg.back_base_log,
+                                back_levels=cfg.back_levels)
+    dak = P.preprocess_aux_keys(ak)
+    n_in, shift = 10, 3
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 1 << n_in, 32, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        mu = v.astype(U64) << U64(63 - n_in)
+    ct = K.encrypt_lwe(main_ck, mu, rng, key=main_ck.big_lwe_key,
+                       noise_log2=TEST_PARAMS.glwe_noise_log2)
+    out = P.clear_low_bits(T.from_u64(ct), dak, cfg.aux, n_in, shift,
+                           cfg.back_base_log, cfg.back_levels,
+                           fwd_ks_drop=2, back_ks_drop=2)
+    phase = K.decrypt_lwe(main_ck, T.to_u64(out), key=main_ck.big_lwe_key)
+    got = np.round(phase.astype(np.float64) / 2.0 ** (63 - n_in)).astype(
+        np.int64) % (1 << (n_in + 1))
+    want = (v - (v % (1 << shift))) % (1 << (n_in + 1))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_audit_reports_ks_drops():
+    """The audit chooses truncated-KSK limb drops for the extraction hops
+    and they respect the variance caps of NoiseModel.var_ks_drop."""
+    from dct_cryptonets_tpu.fhe.circuit import (Circuit, Conv, Output,
+                                                QuantIn, Tlu, TluSpec)
+    from dct_cryptonets_tpu.fhe.noise_audit import audit_circuit
+
+    par = params_for_precision(6)
+    rng = np.random.default_rng(5)
+    w = rng.integers(-7, 8, (3, 3, 4, 4)).astype(np.int32)
+    table = np.zeros((4, 64), np.int32)
+    ops = [QuantIn(1.0, 5, 10, "x0"), Conv("x0", w, 1, 1, "acc1"),
+           Tlu("acc1", TluSpec(6, 3, 10), table, "t1"), Output("t1", 1.0)]
+    shapes = {"x0": (8, 8, 4), "acc1": (8, 8, 4), "t1": (8, 8, 4)}
+    circ = Circuit(ops, (8, 8, 4), {"x0": 5, "acc1": 10, "t1": 10},
+                   {"shapes": shapes})
+    res = audit_circuit(circ, par, p_error=0.015)
+    assert res.max_p_error <= 0.015
+    # production extraction lattice affords deep KSK truncation
+    assert res.aux_fwd_ks_drop >= 4
+    assert res.aux_back_ks_drop >= 2
+    cfg_aux = res  # drops recorded on the result for the runtime to use
+    assert cfg_aux.aux_back_ks_drop <= 6 and cfg_aux.aux_fwd_ks_drop <= 6
