@@ -169,7 +169,7 @@ def main():
     cfg = default_exact_rounding(params)
     # the audit picks the per-layer (drop, cross) knobs under the p_error
     # contract — the same knobs run_encrypted uses under drop_policy="audit"
-    audit = audit_circuit(circ, params, p_error=0.015, exact_cfg=cfg)
+    audit = audit_circuit(circ, params, p_error=0.01, exact_cfg=cfg)
     by_knob, num_aux = circuit_pbs_totals(circ, audit)
     num_pbs = sum(by_knob.values())
     print(f"# circuit: {num_pbs} PBS/image at knobs {sorted(by_knob.items())}"

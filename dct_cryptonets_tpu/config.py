@@ -79,6 +79,20 @@ def parse_args(script: str, argv=None):
         h.add_argument("--drop_limbs", default=0, type=int,
                        help="approximate-throughput mode: low BSK byte limbs "
                             "to skip in the external product")
+        h.add_argument("--drop_policy", default="none",
+                       choices=["none", "audit"],
+                       help="'audit': per-TLU-layer throughput knobs (limb "
+                            "drops, cross skip, truncated KSKs) chosen by "
+                            "the circuit noise audit under the p_error "
+                            "contract — Concrete's optimizer role; 'none': "
+                            "bit-exact vs the simulator while ciphertext "
+                            "noise stays below half an accumulator LSB")
+        h.add_argument("--range_margin", default=2.0, type=float,
+                       help="safety factor on calibrated accumulator "
+                            "ranges; 1.0 = Concrete-ML parity (exact "
+                            "observed ranges), 2.0 spends one extra bit "
+                            "per accumulator against phase wrap on "
+                            "out-of-calibration data")
     else:
         raise ValueError("Unknown script")
     return parser.parse_args(argv)

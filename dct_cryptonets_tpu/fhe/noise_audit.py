@@ -117,7 +117,7 @@ def _erfc_z(margin: float, var: float) -> float:
 
 
 def audit_circuit(circ: Circuit, params: TFHEParams, *,
-                  p_error: float = 0.015,
+                  p_error: float = 0.01,
                   rounding_method: str = "exact",
                   exact_cfg: ExactRoundingConfig | None = None,
                   enc_noise_log2: float | None = None) -> AuditResult:

@@ -108,7 +108,7 @@ class CompiledModule:
     #   Concrete's actual semantics — its optimizer proves p_error, not
     #   bit-exactness).
     drop_policy: str = "none"
-    p_error: float = 0.015
+    p_error: float = 0.01
     audit = None
 
     # -- reference-compatible helpers ------------------------------------
@@ -368,7 +368,7 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
                       tfhe_params: TFHEParams | None = None,
                       pbs_batch: int = 4096,
                       drop_policy: str = "none",
-                      p_error: float = 0.015,
+                      p_error: float = 0.01,
                       range_margin: float = 2.0) -> CompiledModule:
     """End-to-end compile: QAT model -> circuit -> executable module.
 

@@ -121,7 +121,10 @@ def main(argv=None):
                 "n_bits": cfg.rounding_threshold_bits,
                 "method": getattr(cfg, "rounding_method", "exact")},
             calib_data=calib_x,
-            pbs_batch=cfg.pbs_batch)
+            pbs_batch=cfg.pbs_batch,
+            drop_policy=getattr(cfg, "drop_policy", "none"),
+            p_error=cfg.p_error,
+            range_margin=getattr(cfg, "range_margin", 2.0))
     else:
         module = compile_ptq_model(
             params, state, spec, calib_x, n_bits=cfg.n_bits,
