@@ -343,19 +343,45 @@ class CompiledModule:
         lo = jnp.moveaxis(out.lo.reshape(B, H, W, C, n_big), -1, 1)
         return T.T64(hi, lo)
 
+    # -- multi-chip --------------------------------------------------------
+    def shard_over(self, mesh):
+        """Place the module's server key material on a device mesh.
+
+        Server-side parallelism is ciphertext-batch data parallelism
+        (every image's ciphertexts are independent — SURVEY §2.3): keys
+        replicate (a one-time ICI broadcast), ciphertext batches shard on
+        the leading axis.  After this call, ``forward(..., fhe='execute',
+        mesh=mesh)`` runs the encrypted evaluation across the mesh; XLA
+        propagates the batch sharding through every levelled op and the
+        batched bootstraps, with no collectives on the hot path.
+        """
+        from ..parallel.mesh import replicate
+        from .pbs import DeviceAuxKeys, DeviceServerKeys
+        assert self.device_keys is not None, "call keygen() first"
+        self.device_keys = DeviceServerKeys(
+            *replicate(mesh, list(self.device_keys)))
+        if self.aux_keys is not None:
+            self.aux_keys = DeviceAuxKeys(*replicate(mesh, list(self.aux_keys)))
+        return self
+
     # -- the reference-style entry point ----------------------------------
     def forward(self, x: np.ndarray, fhe: str = "simulate",
-                drop_limbs: int | None = None) -> np.ndarray:
+                drop_limbs: int | None = None, mesh=None) -> np.ndarray:
         """x: float input batch (B, H, W, C) -> float features (B, F).
 
         fhe='simulate': bit-exact integer simulation (fast, clear).
         fhe='execute':  encrypt -> encrypted eval -> decrypt.
+        mesh: optional jax.sharding.Mesh — shards the ciphertext batch
+        across devices (keys must be placed first via ``shard_over``).
         """
         if fhe == "simulate":
             return np.asarray(simulate(self.circuit, jnp.asarray(x)))
         if fhe == "execute":
             assert self.client_keys is not None, "call keygen() first"
             ct = self.encrypt(x)
+            if mesh is not None:
+                from ..parallel.mesh import shard_batch
+                ct = T.T64(*shard_batch(mesh, list(ct)))
             out = self.run_encrypted(ct, drop_limbs)
             return self.decrypt_feats(out)
         raise ValueError(f"unknown fhe mode {fhe!r}")

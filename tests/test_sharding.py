@@ -80,3 +80,39 @@ def test_sharded_pbs_batch():
     with np.errstate(over="ignore"):
         dec = ((phase + half) >> shift) & np.uint64((1 << (bits + 1)) - 1)
     np.testing.assert_array_equal(dec, msgs)
+
+
+def test_module_level_sharded_execute():
+    """CompiledModule.forward(fhe='execute', mesh=...) with replicated keys
+    and a sharded ciphertext batch matches the unsharded run bit-exactly."""
+    import jax
+    from dct_cryptonets_tpu.models import init_model, calibrate_scales
+    from dct_cryptonets_tpu.models.resnet import ModelSpec, forward
+    from dct_cryptonets_tpu.models.topology import StemSpec
+    from dct_cryptonets_tpu.fhe.runtime import compile_qat_model
+    from dct_cryptonets_tpu.fhe.params import TEST_PARAMS
+
+    tiny = ModelSpec(
+        name="tinyqat", block_counts=(1,), widths=(4,), in_channels=3,
+        img_size=4, num_classes=4, bit_width=3, quantized=True,
+        stem_override=StemSpec(1, 1, 0, None, None, 4, relu1=True),
+    )
+    params, state = init_model(jax.random.key(0), tiny)
+    x = jax.random.normal(jax.random.key(1), (8, 4, 4, 3))
+    for _ in range(2):
+        _, _, state = forward(params, state, x, tiny, train=True)
+    params = calibrate_scales(params, state, x, tiny)
+
+    xq = np.clip(np.random.default_rng(5).normal(0, 0.7, (8, 4, 4, 3)),
+                 -2, 2).astype(np.float32)
+    module = compile_qat_model(params, state, tiny, n_bits=3,
+                               rounding_threshold_bits=8,
+                               calib_absmax=2.0, tfhe_params=TEST_PARAMS,
+                               pbs_batch=512)
+    module.keygen(seed=6)
+    ref = module.forward(xq, fhe="execute")
+
+    mesh = data_mesh(8)
+    module.shard_over(mesh)
+    got = module.forward(xq, fhe="execute", mesh=mesh)
+    np.testing.assert_array_equal(got, ref)
