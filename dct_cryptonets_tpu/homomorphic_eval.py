@@ -65,7 +65,18 @@ def test_encrypted(module, clf_w, clf_b, codec_cfg, ds, idx, batch, fhe_mode,
 
 def main(argv=None):
     cfg = parse_args("homomorphic_eval", argv)
+    if getattr(cfg, "profile_dir", None):
+        import jax.profiler as _prof
+        opts = _prof.ProfileOptions()
+        # host-only: device trace collection hangs through the axon tunnel
+        opts.advanced_configuration = {"device_tracer_level": 0}
+        with _prof.trace(cfg.profile_dir, profiler_options=opts):
+            cfg.profile_dir = None
+            return main_impl(cfg)
+    return main_impl(cfg)
 
+
+def main_impl(cfg):
     img = cfg.image_size_dct if cfg.dct_status else cfg.image_size
     in_ch = cfg.channels if cfg.dct_status else 3
     spec = build_spec(cfg.model, in_channels=in_ch, img_size=img,

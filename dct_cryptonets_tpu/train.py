@@ -123,6 +123,18 @@ def load_ckpt(path):
 
 def main(argv=None):
     cfg = parse_args("train", argv)
+    if getattr(cfg, "profile_dir", None):
+        import jax.profiler as _prof
+        opts = _prof.ProfileOptions()
+        # host-only: device trace collection hangs through the axon tunnel
+        opts.advanced_configuration = {"device_tracer_level": 0}
+        with _prof.trace(cfg.profile_dir, profiler_options=opts):
+            cfg.profile_dir = None
+            return main_impl(cfg)
+    return main_impl(cfg)
+
+
+def main_impl(cfg):
     ckpt_dir = checkpoint_dir_for(cfg)
     os.makedirs(ckpt_dir, exist_ok=True)
     print(f"Checkpoint dir: {ckpt_dir}")
