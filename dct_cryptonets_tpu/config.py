@@ -17,7 +17,7 @@ def parse_args(script: str, argv=None):
     g = parser.add_argument_group("Default arguments")
     g.add_argument("--dataset", default="cifar10",
                    choices=["cifar10", "ImageNet", "Imagenette",
-                            "miniImagenet", "synthetic"])
+                            "miniImagenet", "synthetic", "digits"])
     g.add_argument("--model", default="ResNet18qat",
                    choices=["ResNet20", "ResNet20qat", "ResNet18", "ResNet18qat"])
     g.add_argument("--num_classes", default=10, type=int)

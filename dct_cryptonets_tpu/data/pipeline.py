@@ -37,6 +37,77 @@ class ArrayDataset:
     def __len__(self):
         return len(self.images)
 
+    def gather(self, idx):
+        """(images, labels) for an index array (in-memory fancy index)."""
+        return self.images[idx], self.labels[idx]
+
+
+class FolderDataset:
+    """Lazy ImageFolder (class-subdirectory) dataset.
+
+    The ImageNet-scale reference configs can't hold the decoded train set
+    in host RAM, so images decode lazily per batch (the role the torch
+    DataLoader workers play in the reference, datamgr.py:229-279 — here
+    decode is host-side and the DCT codec still runs on device).
+    """
+
+    def __init__(self, root: str, image_size: int = 224):
+        self.image_size = image_size
+        self.classes = sorted(d for d in os.listdir(root)
+                              if os.path.isdir(os.path.join(root, d)))
+        if not self.classes:
+            raise FileNotFoundError(f"no class subdirectories under {root}")
+        self.paths, labels = [], []
+        for ci, c in enumerate(self.classes):
+            cdir = os.path.join(root, c)
+            for f in sorted(os.listdir(cdir)):
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                    self.paths.append(os.path.join(cdir, f))
+                    labels.append(ci)
+        self.labels = np.asarray(labels, np.int32)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load(self, path):
+        from PIL import Image
+        img = Image.open(path).convert("RGB")
+        s = self.image_size
+        # reference eval geometry: resize shorter side to 1.15*s then
+        # center-crop s (datamgr.py:193-220); the on-device train path
+        # re-crops randomly from this slightly-larger frame
+        w, h = img.size
+        scale = (1.15 * s) / min(w, h)
+        img = img.resize((max(s, round(w * scale)), max(s, round(h * scale))))
+        w, h = img.size
+        l, t = (w - s) // 2, (h - s) // 2
+        return np.asarray(img.crop((l, t, l + s, t + s)), np.uint8)
+
+    def gather(self, idx):
+        imgs = np.stack([self._load(self.paths[i]) for i in np.asarray(idx)])
+        return imgs, self.labels[np.asarray(idx)]
+
+
+def load_digits_dataset(train: bool = True, image_size: int = 32
+                        ) -> ArrayDataset:
+    """sklearn handwritten digits (1797 real 8x8 images) upscaled to
+    ``image_size`` RGB — the only real image data available offline; used
+    for end-to-end real-data accuracy runs (train -> FHE parity) in this
+    sandbox (CIFAR blobs are absent).
+    """
+    from scipy.ndimage import zoom
+    from sklearn.datasets import load_digits
+    d = load_digits()
+    x8 = (d.images / 16.0 * 255.0).astype(np.float64)   # (N, 8, 8)
+    z = image_size / 8
+    x = np.stack([zoom(im, (z, z), order=1) for im in x8])
+    x = np.clip(x, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=-1)
+    y = d.target.astype(np.int32)
+    tr_idx, te_idx = train_val_split(len(y), 0.2)
+    idx = tr_idx if train else te_idx
+    return ArrayDataset(np.ascontiguousarray(x[idx]), y[idx],
+                        [str(i) for i in range(10)])
+
 
 def load_cifar10(root: str, train: bool = True) -> ArrayDataset:
     d = os.path.join(root, "cifar-10-batches-py")
@@ -98,27 +169,45 @@ def train_val_split(n: int, test_size, random_state: int = 42):
                             random_state=random_state)
 
 
-def batches(ds: ArrayDataset, idx, batch_size: int, *, shuffle: bool,
+def batches(ds, idx, batch_size: int, *, shuffle: bool,
             seed: int = 0, drop_remainder: bool = True):
     """Yield (images, labels) numpy batches over the given indices."""
     idx = np.asarray(idx)
     if shuffle:
         idx = idx[np.random.default_rng(seed).permutation(len(idx))]
     end = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
+    gather = getattr(ds, "gather", None)
     for s in range(0, end, batch_size):
         take = idx[s:s + batch_size]
-        yield ds.images[take], ds.labels[take]
+        if gather is not None:
+            yield gather(take)
+        else:
+            yield ds.images[take], ds.labels[take]
 
 
 def get_dataset(name: str, path: str | None, train: bool, *,
                 image_size: int = 32, num_classes: int = 10,
-                synthetic_size: int = 2048) -> ArrayDataset:
+                synthetic_size: int = 2048):
     if name == "cifar10":
         return load_cifar10(path or "./cifardataset", train)
     if name == "synthetic":
         return load_synthetic(synthetic_size if train else synthetic_size // 4,
                               image_size, num_classes,
                               seed=0 if train else 1)
+    if name == "digits":
+        return load_digits_dataset(train, image_size)
+    if name in ("ImageNet", "Imagenette", "miniImagenet"):
+        # ImageFolder layouts from scripts/install_datasets.sh; the usual
+        # split subdirectory names per dataset (reference train.py:266-314)
+        root = path or "."
+        for split_dir in (("train",) if train else ("val", "validation",
+                                                    "test")):
+            cand = os.path.join(root, split_dir)
+            if os.path.isdir(cand):
+                return FolderDataset(cand, image_size)
+        raise FileNotFoundError(
+            f"no {'train' if train else 'val/test'} split under {root} — "
+            "run scripts/install_datasets.sh or pass --dataset_path")
     if name.endswith(".json"):
         return load_json_manifest(name)
     raise ValueError(f"unknown dataset {name!r}")

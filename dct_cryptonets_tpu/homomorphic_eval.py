@@ -108,7 +108,8 @@ def main_impl(cfg):
     else:
         print("WARNING: No checkpoint loaded. Using random weights "
               "(for testing only)")
-        calib_imgs = trainset.images[:cfg.calib_batch_size]
+        calib_imgs = trainset.gather(
+            np.arange(min(cfg.calib_batch_size, len(trainset))))[0]
         params = calibrate_scales(params, state,
                                   _ingest(calib_imgs, codec_cfg), spec)
         _, _, state = forward(params, state,
@@ -122,8 +123,9 @@ def main_impl(cfg):
     # post-training quantization via compile_torch_model)
     quantization_type = "QAT" if spec.quantized else "PTQ"
     print(f"\nCompiling FHE Model ({quantization_type})...")
-    calib_x = np.asarray(_ingest(trainset.images[:cfg.calib_batch_size],
-                                 codec_cfg))
+    calib_imgs = trainset.gather(
+        np.arange(min(cfg.calib_batch_size, len(trainset))))[0]
+    calib_x = np.asarray(_ingest(calib_imgs, codec_cfg))
     t = time.time()
     if quantization_type == "QAT":
         module = compile_qat_model(

@@ -167,7 +167,7 @@ def main_impl(cfg):
     params, state = init_model(jax.random.key(0), spec)
     if spec.quantized:
         # runtime-stats activation-scale calibration on one batch
-        imgs0 = trainset.images[train_idx[:64]]
+        imgs0, _ = trainset.gather(train_idx[:64])
         x0 = dct_ingest(jnp.asarray(imgs0), codec_cfg) if codec_cfg else None
         if x0 is None:
             mean = jnp.asarray([0.4914, 0.4822, 0.4465]) * 255.0
@@ -202,7 +202,7 @@ def main_impl(cfg):
         # example-image grid (reference train.py:394-395 plots only for
         # the RGB path)
         from .viz import plot_examples
-        plot_examples(ckpt_dir, trainset.images[train_idx[:64]],
+        plot_examples(ckpt_dir, trainset.gather(train_idx[:64])[0],
                       trainset.labels[train_idx[:64]], trainset.classes)
 
     log_path = os.path.join(ckpt_dir, "train_log.jsonl")
