@@ -13,10 +13,12 @@ Reference baseline: 565 s per encrypted CIFAR-10 ResNet-20 DCT image
 lowering of the same topology, so vs_baseline compares image throughput.
 
 Environment knobs:
-  BENCH_M           PBS batch size        (default 2048 on TPU, 64 on CPU)
-  BENCH_STEPS       blind-rotate steps to time (default: full n)
-  BENCH_DROP_LIMBS  low BSK byte limbs to skip (default 3; noise-safe per
-                    the NoiseModel with the base-2^13 gadget)
+  BENCH_M     PBS batch size (default 2048 on TPU, 64 on CPU)
+  BENCH_MODE  'exact' (default; the reference's rounding semantics — counts
+              extraction bootstraps) or 'approximate'
+All throughput knobs (limb drops, cross skip, truncated KSKs) come from the
+circuit noise audit at the reference's p_error = 0.01 — the same knobs
+run_encrypted uses under drop_policy='audit'.
 """
 import json
 import os
