@@ -187,6 +187,12 @@ def main_impl(cfg):
     dt = (time.time() - t) / max(len(test_idx), 1)
     print(f"[Test] Top-1 Acc: {e1.avg:.3f}% | Top-5 Acc: {e5.avg:.3f}% | "
           f"Time per inference in FHE: {dt:.2f}")
+    if cfg.fhe_mode == "execute" and module.stats.get("pbs_per_sec"):
+        s = module.stats
+        print(f"[Stats] levelled {s['levelled_time']:.1f}s | PBS "
+              f"{s['pbs_time']:.1f}s ({s['pbs_per_sec']:.1f} PBS/s, "
+              f"{s.get('aux_pbs_executed', 0)} extraction bootstraps) | "
+              f"keygen {s.get('keygen_time', 0):.1f}s")
 
     # reliability sweep (reference homomorphic_eval.py:366-440)
     if cfg.reliability_test and cfg.fhe_mode == "simulate":
