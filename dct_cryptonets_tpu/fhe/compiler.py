@@ -44,7 +44,8 @@ from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
 ADD_MULT_BITS = 6   # residual-add scale-unification multiplier precision
 
 
-def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS):
+def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS,
+                      cap_a: int | None = None, cap_b: int | None = None):
     """Smallest integer pair (ca, cb) with ca/cb ~ sa/sb to g-bit accuracy.
 
     The residual add computes v = ca*a + cb*b, interpreted at scale
@@ -56,11 +57,17 @@ def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS):
     convergents give the accuracy at far smaller multipliers — directly
     shrinking the noise-audit variance and the v-tensor bit budgets.
 
+    ``cap_a``/``cap_b`` bound each multiplier separately (default 2^g):
+    requant-elided adds unify a raw conv-accumulator scale (tiny) against a
+    quantized-activation scale (~100x larger), so the quantized branch needs
+    a larger multiplier cap than the accuracy parameter g implies.
+
     Returns (ca, cb, s_v).
     """
     rho = sa / sb
     err_bound = 2.0 ** -(g + 1)
-    cap = 1 << g
+    cap_a = (1 << g) if cap_a is None else cap_a
+    cap_b = (1 << g) if cap_b is None else cap_b
 
     best = None
     most_accurate = None
@@ -72,7 +79,7 @@ def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS):
         a = int(x)
         for t in range(1, a + 1):       # semiconvergents p0+t*p1 / q0+t*q1
             p, q = p0 + t * p1, q0 + t * q1
-            if not (1 <= p <= cap and 1 <= q <= cap):
+            if not (1 <= p <= cap_a and 1 <= q <= cap_b):
                 continue
             # realized b-branch error with s_v = sa/p: |s_v*q - sb| / sb
             err = abs(rho * q / p - 1.0)
@@ -82,7 +89,7 @@ def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS):
                                      or p * p + q * q < best[0]):
                 best = (p * p + q * q, p, q)
         p0, q0, p1, q1 = p1, q1, p0 + a * p1, q0 + a * q1
-        if p1 > cap and q1 > cap:
+        if p1 > cap_a and q1 > cap_b:
             break
         frac = x - a
         if frac <= 1e-12:
@@ -90,10 +97,10 @@ def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS):
         x = 1.0 / frac
     if best is None:
         # ratio not representable to g-bit accuracy under the cap (branch
-        # scales > ~16x apart); take the most accurate pair found — always
+        # scales far apart); take the most accurate pair found — always
         # at least as good as the naive (round(ratio * 2^g), 2^g) choice
-        if most_accurate is None:       # rho outside [1/cap, cap] entirely
-            return ((cap, 1, sa / cap) if rho > 1 else (1, cap, sa))
+        if most_accurate is None:       # rho outside [1/cap_b, cap_a]
+            return ((cap_a, 1, sa / cap_a) if rho > 1 else (1, cap_b, sa))
         _, ca, cb = most_accurate
         return ca, cb, sa / ca
     _, ca, cb = best
