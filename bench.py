@@ -50,7 +50,11 @@ def circuit_pbs_totals(circ, audit=None):
             knob = ((audit.drop_for(op.x), audit.cross_for(op.x))
                     if audit is not None else (0, 0))
             by_knob[knob] = by_knob.get(knob, 0) + sites
-            aux += sites * op.spec.shift
+            # partial clearing: only shift - keep_low bits are bootstrapped
+            # (the audit's per-TLU depth; fhe/noise_audit.py)
+            cleared = (audit.by_acc[op.x].cleared if audit is not None
+                       else op.spec.shift)
+            aux += sites * cleared
     return by_knob, aux
 
 
@@ -91,7 +95,10 @@ def get_keys(params, cache_dir=".cache"):
     tag = (f"n{params.lwe_dim}_N{params.poly_size}_k{params.glwe_dim}"
            f"_b{params.pbs_base_log}_l{params.pbs_levels}"
            f"_kb{params.ks_base_log}_kl{params.ks_levels}")
-    path = os.path.join(cache_dir, f"bench_keys_{tag}.npz")
+    # v2: keys now come from the CSPRNG (fhe.keys.Csprng) — older cached
+    # material was generated under a different stream and must not be mixed
+    # with freshly derived client keys
+    path = os.path.join(cache_dir, f"bench_keys_v2_{tag}.npz")
     ck = keygen(params, seed=0)
     if os.path.exists(path):
         z = np.load(path)
@@ -114,7 +121,7 @@ def get_aux_keys(ck, cfg, cache_dir=".cache"):
     os.makedirs(cache_dir, exist_ok=True)
     a = cfg.aux
     path = os.path.join(
-        cache_dir, f"bench_aux_n{a.lwe_dim}_k{a.glwe_dim}_N{a.poly_size}"
+        cache_dir, f"bench_aux_v2_n{a.lwe_dim}_k{a.glwe_dim}_N{a.poly_size}"
                    f"_main{ck.params.poly_size}.npz")
     if os.path.exists(path):
         z = np.load(path)

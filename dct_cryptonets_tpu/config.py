@@ -92,12 +92,31 @@ def parse_args(script: str, argv=None):
                             "contract — Concrete's optimizer role; 'none': "
                             "bit-exact vs the simulator while ciphertext "
                             "noise stays below half an accumulator LSB")
-        h.add_argument("--range_margin", default=2.0, type=float,
+        h.add_argument("--range_margin", default=1.0, type=float,
                        help="safety factor on calibrated accumulator "
-                            "ranges; 1.0 = Concrete-ML parity (exact "
-                            "observed ranges), 2.0 spends one extra bit "
-                            "per accumulator against phase wrap on "
-                            "out-of-calibration data")
+                            "ranges; 1.0 (default) = Concrete-ML parity "
+                            "(exact observed ranges), 2.0 spends one "
+                            "extra bit per accumulator against phase "
+                            "wrap on out-of-calibration data")
+        h.add_argument("--sweep_state", default=None, metavar="PATH",
+                       help="JSONL checkpoint for long execute sweeps: "
+                            "per-batch results persist here and a re-run "
+                            "with the same config resumes instead of "
+                            "restarting (~minutes/image encrypted)")
+        h.add_argument("--dump_circuit", default=None, metavar="PATH",
+                       help="write the compiled circuit listing + noise-"
+                            "audit summary to PATH — the analog of the "
+                            "reference's MLIR dump to mlir.txt "
+                            "(homomorphic_eval.py:309-311)")
+        h.add_argument("--residual_mode", default="fused",
+                       choices=["fused", "requant"],
+                       help="'fused' (default): requant-elided residual "
+                            "adds — raw conv accumulators feed the add "
+                            "through per-channel multipliers, eliding the "
+                            "quant_out/quant_sc bootstraps (~30%% fewer "
+                            "PBS, higher arithmetic fidelity); 'requant' "
+                            "reproduces the reference graph's Brevitas "
+                            "QuantIdentity requant TLUs literally")
     else:
         raise ValueError("Unknown script")
     return parser.parse_args(argv)

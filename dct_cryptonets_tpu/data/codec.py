@@ -60,19 +60,29 @@ class CodecConfig:
 
 
 def rgb_to_ycrcb_cv(x: jax.Array) -> jax.Array:
-    """OpenCV-convention RGB -> (Y, Cr, Cb), uint8-rounded, channel-last.
+    """OpenCV RGB -> (Y, Cr, Cb), BIT-EXACT vs cv2.cvtColor's fixed-point.
 
-    Matches cv2.cvtColor(..., COLOR_BGR2YCrCb) on an RGB-ordered array as the
-    reference constructs it (cvfunctional.py:64-65): Y = BT.601 luma,
-    Cr = (R - Y) * 0.713 + 128, Cb = (B - Y) * 0.564 + 128.
+    cv2's 8U color conversion is 14-bit fixed point (modules/imgproc
+    color_yuv): Y = descale(R*4899 + G*9617 + B*1868), Cr = descale((R-Y)
+    * 11682) + 128, Cb = descale((B-Y) * 9241) + 128 with descale(v) =
+    (v + 2^13) >> 14 — NOT the float formula rounded (the two differ by
+    +-1 on ~1/2^? of pixels, which the golden parity test
+    (tests/test_codec_golden.py) shows matters after per-channel
+    normalization).  Matches the reference's
+    cv2.cvtColor(BGR, COLOR_BGR2YCrCb) after its RGB->BGR flip
+    (cvfunctional.py:63-66).
     """
-    x = x.astype(jnp.float32)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cr = (r - y) * 0.713 + 128.0
-    cb = (b - y) * 0.564 + 128.0
+    xi = x.astype(jnp.int32)
+    r, g, b = xi[..., 0], xi[..., 1], xi[..., 2]
+
+    def descale(v):
+        return (v + (1 << 13)) >> 14
+
+    y = descale(r * 4899 + g * 9617 + b * 1868)
+    cr = descale((r - y) * 11682) + 128
+    cb = descale((b - y) * 9241) + 128
     out = jnp.stack([y, cr, cb], axis=-1)
-    return jnp.clip(jnp.round(out), 0, 255)
+    return jnp.clip(out, 0, 255).astype(jnp.float32)
 
 
 def rgb_to_ycbcr_jpeg(x: jax.Array) -> jax.Array:
@@ -91,16 +101,99 @@ def rgb_to_ycbcr_jpeg(x: jax.Array) -> jax.Array:
 
 
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    """Bilinear resize of (..., H, W, C) with half-pixel centers (cv2-like)."""
+    """FLOAT bilinear resize with half-pixel centers (cv2 float path).
+
+    Used for float coefficient maps (UpScaleDCT); uint8 PIXEL stages must
+    go through :func:`resize_linear_u8_cv` to reproduce cv2's fixed-point
+    arithmetic exactly."""
     shape = (*x.shape[:-3], out_h, out_w, x.shape[-1])
     return jax.image.resize(x.astype(jnp.float32), shape, method="linear",
                             antialias=False)
 
 
+def _cv2_linear_plan(src: int, dst: int):
+    """cv2 INTER_LINEAR 8U coefficient plan for one axis (resize.cpp).
+
+    Returns static numpy arrays (i0, i1, a0, a1): output pixel d reads
+    src pixels i0[d], i1[d] with int16 weights a0, a1 at scale 2^11.
+    Weights are quantized with cvRound (round-half-to-even), exactly as
+    ``saturate_cast<short>((1-f) * INTER_RESIZE_COEF_SCALE)`` does.
+    """
+    scale = src / dst
+    d = np.arange(dst)
+    fx = (d + 0.5) * scale - 0.5
+    sx = np.floor(fx).astype(np.int64)
+    fx = fx - sx
+    fx[sx < 0] = 0.0
+    sx[sx < 0] = 0
+    fx[sx >= src - 1] = 0.0
+    sx[sx >= src - 1] = src - 1
+    a1 = np.rint(fx * 2048.0).astype(np.int32)
+    a0 = np.rint((1.0 - fx) * 2048.0).astype(np.int32)
+    i0 = sx
+    i1 = np.minimum(sx + 1, src - 1)
+    return i0, i1, a0, a1
+
+
+def resize_linear_u8_cv(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """cv2.resize(..., INTER_LINEAR) on uint8 planes, BIT-EXACT.
+
+    cv2's 8U bilinear is fixed point: 2^11-scaled int16 weights
+    (cvRound-quantized), an int32 horizontal pass, and a vertical combine
+    ``(b0*r0 + b1*r1 + 2^21) >> 22`` (FixedPtCast).  The float-then-round
+    shortcut differs by +-1 at exact .5 ties (numpy rounds half-to-even,
+    cv2's cast rounds half-up) — enough to shift low-variance chroma DCT
+    channels visibly after normalization.
+
+    The vertical combine follows cv2's 8U *specialization* (resize.cpp,
+    ``VResizeLinear<uchar, int, short, ...>``):
+    ``uchar((((b0*(r0 >> 4)) >> 16) + ((b1*(r1 >> 4)) >> 16) + 2) >> 2)``
+    — pre-truncated rows and floor shifts, NOT the generic
+    ``(v + 2^21) >> 22`` cast (they differ by +-1 on ~12% of pixels).
+
+    TPU-first formulation: the sparse taps become THREE small f32 matmuls
+    (horizontal weight matrix, then two one-hot row selections — the two
+    vertical taps must stay separate because each is floor-shifted before
+    the sum).  All products stay below 2^24 so f32 is exact, and nothing
+    lowers to a gather (catastrophic on this target — PERFORMANCE.md).
+
+    x: (..., H, W) integer-valued plane; returns float32 (..., out_h, out_w)
+    with exact uint8 values.
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    xf = x.astype(jnp.float32)
+    j0, j1, c0, c1 = _cv2_linear_plan(W, out_w)
+    A = np.zeros((W, out_w), np.float32)                 # horizontal taps
+    np.add.at(A, (j0, np.arange(out_w)), c0.astype(np.float32))
+    np.add.at(A, (j1, np.arange(out_w)), c1.astype(np.float32))
+    # rows <= 255 * 2049 < 2^19 — exact in f32
+    rows = jnp.matmul(xf, jnp.asarray(A),
+                      precision=jax.lax.Precision.HIGHEST)
+    rows = rows.astype(jnp.int32) >> 4                   # cv2's r >> 4
+    i0, i1, b0, b1 = _cv2_linear_plan(H, out_h)
+    S0 = np.zeros((out_h, H), np.float32)                # one-hot row picks
+    S1 = np.zeros((out_h, H), np.float32)
+    S0[np.arange(out_h), i0] = 1.0
+    S1[np.arange(out_h), i1] = 1.0
+    rf = rows.astype(jnp.float32)                        # < 2^15 — exact
+    r0 = jnp.matmul(jnp.asarray(S0), rf,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    r1 = jnp.matmul(jnp.asarray(S1), rf,
+                    precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    t0 = (r0 * jnp.asarray(b0)[:, None]) >> 16
+    t1 = (r1 * jnp.asarray(b1)[:, None]) >> 16
+    out = (t0 + t1 + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(jnp.float32)
+
+
 def center_crop(x: jax.Array, size: int) -> jax.Array:
+    """Center crop with the reference's offset arithmetic: ``int(round((h -
+    th) * 0.5))`` under Python's round-half-to-even (cvfunctional.py:358-369)
+    — differs from ``(h - size) // 2`` when (h - size) is odd with an even
+    half above it."""
     h, w = x.shape[-3], x.shape[-2]
-    top = (h - size) // 2
-    left = (w - size) // 2
+    top = int(np.round((h - size) * 0.5))
+    left = int(np.round((w - size) * 0.5))
     return x[..., top:top + size, left:left + size, :]
 
 
@@ -143,12 +236,12 @@ def dct_from_pixels(cropped: jax.Array, cfg: CodecConfig) -> jax.Array:
         ycc = rgb_to_ycrcb_cv(cropped)
         y = ycc[..., 0]
         # Reference quirk (cvfunctional.py:66): `y, cb, cr = cv2.split(YCrCb)`
-        # binds Cr to the "cb" slot.  Chroma is halved with cv2 bilinear.
-        half = cropped.shape[-2] // 2
-        cb = resize_bilinear(ycc[..., 1:2], half, half)[..., 0]
-        cb = jnp.clip(jnp.round(cb), 0, 255)
-        cr = resize_bilinear(ycc[..., 2:3], half, half)[..., 0]
-        cr = jnp.clip(jnp.round(cr), 0, 255)
+        # binds Cr to the "cb" slot.  Chroma is halved with cv2's exact
+        # fixed-point INTER_LINEAR (cvfunctional.py:67-68).
+        hh = cropped.shape[-3] // 2
+        hw = cropped.shape[-2] // 2
+        cb = resize_linear_u8_cv(ycc[..., 1], hh, hw)
+        cr = resize_linear_u8_cv(ycc[..., 2], hh, hw)
         rounded = False
 
     coeff_y = _component_coeffs(y, cfg, rounded)
@@ -176,9 +269,18 @@ def dct_ingest(images_u8: jax.Array, cfg: CodecConfig) -> jax.Array:
     """
     P = cfg.pixel_size
     rs = int(P * 1.15)
-    x = resize_bilinear(images_u8, rs, rs)
-    x = jnp.clip(jnp.round(x), 0, 255)
-    x = center_crop(x, P)
+    H, W = images_u8.shape[-3], images_u8.shape[-2]
+    # shorter-edge Resize(int) semantics (reference cvfunctional.py:204-239)
+    # with cv2's exact fixed-point 8U bilinear
+    if not ((W <= H and W == rs) or (H <= W and H == rs)):
+        if W < H:
+            oh, ow = int(rs * H / W), rs
+        else:
+            oh, ow = rs, int(rs * W / H)
+        planes = jnp.moveaxis(images_u8, -1, -3)       # (..., 3, H, W)
+        planes = resize_linear_u8_cv(planes, oh, ow)
+        images_u8 = jnp.moveaxis(planes, -3, -1)
+    x = center_crop(images_u8, P)
     return dct_from_pixels(x, cfg)
 
 

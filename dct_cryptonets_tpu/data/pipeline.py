@@ -151,15 +151,43 @@ def load_synthetic(num: int = 2048, image_size: int = 32,
     return ArrayDataset(x, y)
 
 
-def load_json_manifest(path: str) -> ArrayDataset:
-    """SimpleDataset JSON manifest (reference data/dataset.py:11-34)."""
-    from PIL import Image
-    with open(path) as f:
-        meta = json.load(f)
-    names = meta["image_names"]
-    labels = np.asarray(meta["image_labels"], np.int32)
-    imgs = [np.asarray(Image.open(n).convert("RGB"), np.uint8) for n in names]
-    return ArrayDataset(np.stack(imgs), labels)
+class ManifestDataset:
+    """Lazy SimpleDataset-style JSON manifest (reference data/dataset.py:11-34).
+
+    Construction reads only the manifest metadata (O(entries), no image
+    decode), so miniImageNet-scale manifests (60k images) cost megabytes,
+    not the decoded dataset; images decode per batch in :meth:`gather`,
+    the same pattern as :class:`FolderDataset`.
+    """
+
+    def __init__(self, path: str, image_size: int | None = None):
+        with open(path) as f:
+            meta = json.load(f)
+        self.paths = meta["image_names"]
+        self.labels = np.asarray(meta["image_labels"], np.int32)
+        self.classes = meta.get("label_names") or [
+            str(i) for i in range(int(self.labels.max()) + 1)]
+        self.image_size = image_size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _load(self, path):
+        from PIL import Image
+        img = Image.open(path).convert("RGB")
+        if self.image_size is not None and img.size != (self.image_size,) * 2:
+            img = img.resize((self.image_size, self.image_size))
+        return np.asarray(img, np.uint8)
+
+    def gather(self, idx):
+        imgs = np.stack([self._load(self.paths[i]) for i in np.asarray(idx)])
+        return imgs, self.labels[np.asarray(idx)]
+
+
+def load_json_manifest(path: str, image_size: int | None = None
+                       ) -> ManifestDataset:
+    """Open a JSON manifest lazily (images decode per batch, not here)."""
+    return ManifestDataset(path, image_size)
 
 
 def train_val_split(n: int, test_size, random_state: int = 42):

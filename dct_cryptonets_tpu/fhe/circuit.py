@@ -100,6 +100,28 @@ class AddScaled:
 
 
 @dataclass
+class AddScaledPC:
+    """Per-channel scaled add: out[..., c] = ca[c]*a[..., c] + cb[c]*b[..., c].
+
+    The requant-elided residual add (compiler ``residual_mode='fused'``):
+    raw conv accumulators carry a per-channel scale (conv scale x folded-BN
+    gamma), so scale unification needs a multiplier pair *per channel*.
+    Levelled in FHE — a per-channel integer scalar-mul broadcast over the
+    trailing channel axis, no PBS (the per-channel interpretation scale and
+    the folded BN bias live in the consuming TLU's per-channel table).
+    Multipliers may be negative (negative BN gamma) or zero (dead channel:
+    that branch contributes only its bias, which the TLU table carries).
+    """
+    a: str
+    ca: np.ndarray        # (C,) int32 per-channel multipliers for a
+    b: str
+    cb: np.ndarray        # (C,) int32
+    ja: int               # FHE-side extra power-of-two (encoding align)
+    jb: int
+    out: str
+
+
+@dataclass
 class Rescale:
     """Phase-only re-encoding: out carries the SAME integer value as x but
     at the finer budget n(out) = enc(x) - j (Delta multiplied by 2^j).
@@ -149,6 +171,65 @@ class Circuit:
         for FHE feasibility (homomorphic_eval.py:301-306)."""
         return max(self.n_budget.values())
 
+    def dump(self) -> str:
+        """Human-readable circuit listing — the framework's analog of the
+        reference's MLIR dump (``homomorphic_eval.py:309-311`` writes
+        Concrete's circuit to ``mlir.txt``).  One line per op with tensor
+        shapes, bit budgets, scales/multipliers, and TLU geometry; suffixed
+        with the per-sample cost summary the audit consumes."""
+        shapes = self.meta.get("shapes", {})
+        nb = self.n_budget
+
+        def fmt(name):
+            sh = "x".join(map(str, shapes.get(name, ())))
+            return f"{name}:{sh}/n{nb.get(name, '?')}"
+
+        lines = [f"circuit input={self.input_shape} "
+                 f"n_bits={self.meta.get('n_bits')} "
+                 f"r={self.meta.get('rounding_threshold_bits')} "
+                 f"bit_width={self.meta.get('bit_width')}"]
+        pbs = 0
+        extract = 0
+        for op in self.ops:
+            if isinstance(op, QuantIn):
+                lines.append(f"  quant_in scale={op.scale:.6g} "
+                             f"bits={op.bits} -> {fmt(op.out)}")
+            elif isinstance(op, Conv):
+                lines.append(f"  conv {fmt(op.x)} w={op.w.shape} "
+                             f"s={op.stride} p={op.padding} -> {fmt(op.out)}")
+            elif isinstance(op, PoolSum):
+                lines.append(f"  pool_sum {fmt(op.x)} k={op.k} "
+                             f"-> {fmt(op.out)}")
+            elif isinstance(op, Window):
+                lines.append(f"  window {fmt(op.x)} d=({op.dy},{op.dx}) "
+                             f"s={op.stride} -> {fmt(op.out)}")
+            elif isinstance(op, AddScaled):
+                lines.append(f"  add {op.ca}*{fmt(op.a)}<<{op.ja} + "
+                             f"{op.cb}*{fmt(op.b)}<<{op.jb} -> {fmt(op.out)}")
+            elif isinstance(op, AddScaledPC):
+                lines.append(
+                    f"  add_pc |ca|<= {int(np.abs(op.ca).max())}*"
+                    f"{fmt(op.a)}<<{op.ja} + |cb|<="
+                    f"{int(np.abs(op.cb).max())}*{fmt(op.b)}<<{op.jb} "
+                    f"-> {fmt(op.out)}")
+            elif isinstance(op, Rescale):
+                lines.append(f"  rescale {fmt(op.x)} <<{op.j} "
+                             f"-> {fmt(op.out)}")
+            elif isinstance(op, Tlu):
+                sites = int(np.prod(shapes[op.x]))
+                pbs += sites
+                extract += sites * op.spec.shift
+                lines.append(f"  tlu {fmt(op.x)} r={op.spec.in_bits} "
+                             f"shift={op.spec.shift} sites={sites} "
+                             f"table={op.table.shape} -> {fmt(op.out)}")
+            elif isinstance(op, Output):
+                lines.append(f"  output {fmt(op.x)} scale={op.scale:.6g}")
+        lines.append(f"  # per-sample: {pbs} PBS, {extract} dropped "
+                     f"accumulator bits (exact-rounding extraction upper "
+                     f"bound; the audit's keep_low reduces it), "
+                     f"max bit-width {self.max_bit_width()}")
+        return "\n".join(lines)
+
     def verify_encodings(self) -> list[str]:
         """Cross-check every op against the forward torus encodings.
 
@@ -166,7 +247,7 @@ class Circuit:
                 enc[op.out] = op.n
             elif isinstance(op, (Conv, PoolSum, Window)):
                 enc[op.out] = enc[op.x]
-            elif isinstance(op, AddScaled):
+            elif isinstance(op, (AddScaled, AddScaledPC)):
                 if op.ja != enc[op.a] - nb[op.out]:
                     bad.append(f"add {op.out}: ja={op.ja}, "
                                f"enc({op.a})={enc[op.a]}, n_out={nb[op.out]}")
@@ -255,6 +336,9 @@ def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
             env[op.out] = env[op.x]          # integer value unchanged
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
+        elif isinstance(op, AddScaledPC):
+            env[op.out] = (jnp.asarray(op.ca) * env[op.a]
+                           + jnp.asarray(op.cb) * env[op.b])
         elif isinstance(op, Tlu):
             acc = env[op.x]
             u = tlu_index(acc, op.spec)
@@ -275,12 +359,18 @@ simulate_jit = partial(jax.jit, static_argnums=0)(simulate)
 
 
 def collect_acc_ranges(circuit: Circuit, x: jax.Array) -> dict:
-    """Run the integer simulation and record max |value| of every
-    accumulator tensor (Conv/PoolSum/AddScaled outputs).
+    """Run the integer simulation and record the PER-CHANNEL max |value| of
+    every accumulator tensor (Conv/PoolSum/AddScaled outputs): dict
+    name -> (C,) np.ndarray; scalar bound = ``.max()``.
 
     Used for calibration-based bit budgets (Concrete derives its circuit
     bit widths from calibration data the same way; worst-case weight bounds
-    overflow 16 bits for the deeper reference nets)."""
+    overflow 16 bits for the deeper reference nets).  The per-channel
+    detail additionally drives the requant-elided residual adds, whose
+    multiplier caps and add ranges are per-channel quantities."""
+
+    def pc_max(v):
+        return np.asarray(jnp.max(jnp.abs(v), axis=(0, 1, 2)))
     env = {}
     ranges = {}
     for op in circuit.ops:
@@ -291,17 +381,21 @@ def collect_acc_ranges(circuit: Circuit, x: jax.Array) -> dict:
                                    qmax).astype(jnp.int32)
         elif isinstance(op, Conv):
             env[op.out] = _conv_int(env[op.x], op.w, op.stride, op.padding)
-            ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+            ranges[op.out] = pc_max(env[op.out])
         elif isinstance(op, PoolSum):
             env[op.out] = _pool_sum(env[op.x], op.k)
-            ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+            ranges[op.out] = pc_max(env[op.out])
         elif isinstance(op, Window):
             env[op.out] = _window(env[op.x], op)
         elif isinstance(op, Rescale):
             env[op.out] = env[op.x]          # integer value unchanged
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
-            ranges[op.out] = int(jnp.max(jnp.abs(env[op.out])))
+            ranges[op.out] = pc_max(env[op.out])
+        elif isinstance(op, AddScaledPC):
+            env[op.out] = (jnp.asarray(op.ca) * env[op.a]
+                           + jnp.asarray(op.cb) * env[op.b])
+            ranges[op.out] = pc_max(env[op.out])
         elif isinstance(op, Tlu):
             u = tlu_index(env[op.x], op.spec)
             table = jnp.asarray(op.table)
@@ -342,6 +436,9 @@ def simulate_noisy(circuit: Circuit, x: jax.Array, key: jax.Array,
             env[op.out] = env[op.x]          # integer value unchanged
         elif isinstance(op, AddScaled):
             env[op.out] = op.ca * env[op.a] + op.cb * env[op.b]
+        elif isinstance(op, AddScaledPC):
+            env[op.out] = (jnp.asarray(op.ca) * env[op.a]
+                           + jnp.asarray(op.cb) * env[op.b])
         elif isinstance(op, Tlu):
             acc = env[op.x]
             u = tlu_index(acc, op.spec)

@@ -38,8 +38,8 @@ import numpy as np
 
 from ..models.resnet import ModelSpec
 from ..ops.quant import act_qrange
-from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Rescale, Tlu, TluSpec, Window)
+from .circuit import (AddScaled, AddScaledPC, Circuit, Conv, Output, PoolSum,
+                      QuantIn, Rescale, Tlu, TluSpec, Window)
 
 ADD_MULT_BITS = 6   # residual-add scale-unification multiplier precision
 
@@ -107,6 +107,102 @@ def unify_multipliers(sa: float, sb: float, g: int = ADD_MULT_BITS,
     return ca, cb, sa / ca
 
 
+def unify_multipliers_pc(ka, kb, bound_a, bound_b, out_step,
+                         g: int = ADD_MULT_BITS):
+    """Per-channel multiplier pairs for a requant-elided residual add.
+
+    Channel c of branch a carries value ``ka[c] * a + bias`` (raw conv
+    accumulator with folded BN, or a quantized activation with constant
+    ``ka``); same for b.  Returns int32 arrays (ca, cb) and float s_v with
+    ``s_v[c] = |ka[c]| / |ca[c]|`` such that the integer
+    ``v = ca[c]*a + cb[c]*b`` interpreted at ``s_v[c]`` approximates
+    ``ka[c]*a + kb[c]*b`` to g-bit relative accuracy per branch.
+
+    Signs of ka/kb (negative folded-BN gammas) move into the multipliers.
+    A branch whose full-scale contribution ``|k|*bound`` is below a quarter
+    of the consuming TLU's output step ``out_step`` is dropped (multiplier
+    0) — it only shifts the output by sub-round-off and its bias still
+    lands in the TLU table.
+
+    Pair selection is *range-aware*: the a-branch is represented exactly
+    (s_v = ra/p) and the b-branch's misrepresentation is an ABSOLUTE error
+    ``|s_v*q - rb| * bound_b`` — adequacy requires it below out_step/4
+    (a quarter of the consuming TLU's output LSB), which for raw-vs-raw
+    accumulator adds is a far weaker demand than g-bit relative accuracy.
+    Among adequate semiconvergent pairs the one minimizing the add range
+    ``max(p*bound_a, q*bound_b)`` wins: range is what sets the add's bit
+    budget (exact-rounding extraction bootstraps) and the multiplier
+    magnitude is what amplifies ciphertext noise — both the quantities the
+    circuit noise audit pays for.  A hard per-branch range cap of 2^13
+    keeps the add accumulator within ~15 bits.
+    """
+    ka = np.asarray(ka, np.float64)
+    kb = np.asarray(kb, np.float64)
+    C = ka.shape[0]
+    bound_a = np.broadcast_to(np.asarray(bound_a, np.float64), (C,))
+    bound_b = np.broadcast_to(np.asarray(bound_b, np.float64), (C,))
+    ca = np.zeros(C, np.int32)
+    cb = np.zeros(C, np.int32)
+    s_v = np.ones(C, np.float64)
+    drop_eps = float(out_step) / 4.0
+    RANGE_CAP = 1 << 13
+    for c in range(C):
+        ra, rb = abs(float(ka[c])), abs(float(kb[c]))
+        full_a, full_b = ra * bound_a[c], rb * bound_b[c]
+        if full_a < drop_eps and full_b < drop_eps:
+            s_v[c] = max(ra, rb, 1e-12)
+            continue                       # both branches sub-round-off
+        if full_a < drop_eps:
+            cb[c] = 1 if kb[c] >= 0 else -1
+            s_v[c] = rb
+            continue
+        if full_b < drop_eps:
+            ca[c] = 1 if ka[c] >= 0 else -1
+            s_v[c] = ra
+            continue
+        cap_a = max(1, int(RANGE_CAP // max(bound_a[c], 1.0)))
+        cap_b = max(1, int(RANGE_CAP // max(bound_b[c], 1.0)))
+        # adequacy: absolute b-branch error <= out_step/4; never looser
+        # than 2^-(g+1) relative would allow at full scale
+        err_req = max(drop_eps / full_b, 0.0)
+        err_req = min(err_req, 0.5)
+        rho = ra / rb
+        best = None           # (range, p, q) among adequate pairs
+        most_accurate = None  # (err, p, q) fallback
+        p0, q0, p1, q1 = 0, 1, 1, 0
+        x = rho
+        for _ in range(64):
+            a = int(x)
+            for t in range(1, a + 1):
+                p, q = p0 + t * p1, q0 + t * q1
+                if not (1 <= p <= cap_a and 1 <= q <= cap_b):
+                    continue
+                err = abs(rho * q / p - 1.0)
+                if most_accurate is None or err < most_accurate[0]:
+                    most_accurate = (err, p, q)
+                if err <= err_req:
+                    rng = max(p * bound_a[c], q * bound_b[c])
+                    if best is None or rng < best[0]:
+                        best = (rng, p, q)
+            p0, q0, p1, q1 = p1, q1, p0 + a * p1, q0 + a * q1
+            if p1 > cap_a and q1 > cap_b:
+                break
+            frac = x - a
+            if frac <= 1e-12:
+                break
+            x = 1.0 / frac
+        if best is not None:
+            _, p, q = best
+        elif most_accurate is not None:
+            _, p, q = most_accurate
+        else:                             # rho outside the cap window
+            p, q = (cap_a, 1) if rho > 1 else (1, cap_b)
+        ca[c] = p if ka[c] >= 0 else -p
+        cb[c] = q if kb[c] >= 0 else -q
+        s_v[c] = ra / p
+    return ca, cb, s_v
+
+
 def _quantize_weight(w, bits):
     """Brevitas narrow-range per-tensor weight quantization (ops/quant.py)."""
     w = np.asarray(w, np.float64)
@@ -161,7 +257,8 @@ class _TluSite:
 def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
           rounding_threshold_bits: int = 6,
           calib_absmax: float | None = None,
-          calib_data=None, range_margin: float = 2.0) -> Circuit:
+          calib_data=None, range_margin: float = 1.0,
+          residual_mode: str = "fused") -> Circuit:
     """Compile trained (params, state) of a quantized model into a Circuit.
 
     With ``calib_data`` (a float input batch), accumulator bit budgets come
@@ -169,33 +266,79 @@ def lower(params, state, spec: ModelSpec, *, n_bits: int = 5,
     worst-case weight bounds — like Concrete's calibration, and required
     for the deeper nets whose worst-case bounds exceed 16 bits.
 
-    ``range_margin``: safety factor on the observed ranges.  Concrete-ML
-    calibrates with the exact observed min/max (margin 1.0) and accepts
-    that out-of-range accumulators at eval time wrap the PBS phase; the
-    default 2.0 spends one extra accumulator bit per TLU (= one extra
-    exact-rounding extraction bootstrap per site, ~9% of flagship image
-    latency) to make that failure mode an order of magnitude rarer.
+    ``range_margin``: safety factor on the observed ranges.  The default
+    1.0 is Concrete-ML parity (it calibrates with the exact observed
+    min/max and accepts that out-of-calibration accumulators at eval time
+    wrap the PBS phase); 2.0 spends one extra accumulator bit per TLU
+    (= one extra exact-rounding extraction bootstrap per site) to make
+    that failure mode an order of magnitude rarer.
+
+    ``residual_mode``: ``'fused'`` (default) elides the ``quant_out`` /
+    ``quant_sc`` requant TLUs at every residual add — the raw conv
+    accumulators (BN folded into a per-channel scale + bias) feed the add
+    through per-channel minimal multipliers (:class:`~.circuit.AddScaledPC`)
+    and the following relu TLU's per-channel table absorbs scale and bias.
+    This removes one PBS per block output element (~30% of the flagship
+    circuit's bootstraps) and *raises* arithmetic fidelity (no intermediate
+    requantization), at the price of a slightly wider add accumulator.
+    ``'requant'`` reproduces the reference graph literally (Brevitas
+    QuantIdentity nodes -> Concrete TLUs, reference backbone.py:94-104).
     """
+    assert residual_mode in ("fused", "requant"), residual_mode
     circ = _lower_once(params, state, spec, n_bits=n_bits,
                        rounding_threshold_bits=rounding_threshold_bits,
-                       calib_absmax=calib_absmax)
+                       calib_absmax=calib_absmax, residual_mode=residual_mode)
     if calib_data is None:
         return circ
     from .circuit import collect_acc_ranges
     import jax.numpy as jnp
-    ranges = collect_acc_ranges(circ, jnp.asarray(calib_data))
-    # ceil: the bound must cover the observed range even at margin 1.0
-    bounds = {name: max(1, int(np.ceil(v * range_margin)))
-              for name, v in ranges.items()}
-    return _lower_once(params, state, spec, n_bits=n_bits,
-                       rounding_threshold_bits=rounding_threshold_bits,
-                       calib_absmax=calib_absmax, bounds_override=bounds)
+    x = jnp.asarray(calib_data)
+
+    # Calibration fixpoint.  Re-lowering with calibrated bounds changes the
+    # circuit itself (TLU shifts, and in fused mode the per-channel add
+    # multipliers, whose caps track the bounds) — so ranges measured on one
+    # iteration's circuit may under-cover the next one's accumulators,
+    # which the simulator would silently clip but encrypted phases would
+    # WRAP.  Iterate: lower -> measure -> grow bounds (monotone, elementwise
+    # max) until every observed range fits its own circuit's bound.
+    bounds: dict = {}
+    bounds_pc: dict = {}
+    for _ in range(6):
+        ranges = collect_acc_ranges(circ, x)
+        grew = False
+        for name, v in ranges.items():
+            # ceil: the bound must cover the observed range even at 1.0
+            b = max(1, int(np.ceil(float(np.max(v)) * range_margin)))
+            pc = np.maximum(np.ceil(np.asarray(v, np.float64)
+                                    * range_margin), 1.0)
+            if name not in bounds or b > bounds[name]:
+                bounds[name] = max(b, bounds.get(name, 0))
+                grew = True
+            old_pc = bounds_pc.get(name)
+            if old_pc is None:
+                bounds_pc[name] = pc
+                grew = True
+            elif np.any(pc > old_pc):
+                bounds_pc[name] = np.maximum(pc, old_pc)
+                grew = True
+        if not grew:
+            break
+        circ = _lower_once(params, state, spec, n_bits=n_bits,
+                           rounding_threshold_bits=rounding_threshold_bits,
+                           calib_absmax=calib_absmax, bounds_override=bounds,
+                           bounds_pc_override=bounds_pc,
+                           residual_mode=residual_mode)
+    else:
+        raise RuntimeError("calibration bounds did not stabilize")
+    return circ
 
 
 def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
                 rounding_threshold_bits: int = 6,
                 calib_absmax: float | None = None,
-                bounds_override: dict | None = None) -> Circuit:
+                bounds_override: dict | None = None,
+                bounds_pc_override: dict | None = None,
+                residual_mode: str = "fused") -> Circuit:
     assert spec.quantized, "lower() expects a QAT model"
     st = spec.stem
     bw = spec.bit_width
@@ -214,11 +357,15 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
     def scale_of(node):
         return float(np.maximum(np.asarray(node["scale"]), 1e-8))
 
-    def conv_bound(w_int, x: _Tensor) -> int:
+    def conv_bound_pc(w_int, x: _Tensor) -> np.ndarray:
+        """Worst-case per-output-channel |accumulator| bound."""
         w = w_int.astype(np.int64).reshape(-1, w_int.shape[-1])
         hi = np.where(w > 0, w * x.hi, w * x.lo).sum(0)
         lo = np.where(w > 0, w * x.lo, w * x.hi).sum(0)
-        return int(max(hi.max(), -lo.min(), 1))
+        return np.maximum(np.maximum(hi, -lo), 1)
+
+    def conv_bound(w_int, x: _Tensor) -> int:
+        return int(conv_bound_pc(w_int, x).max())
 
     def add_site(acc_name, shape, bound, cout, value_fn, s_out, lo, hi):
         out = fresh("t")
@@ -232,6 +379,11 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
         if bounds_override and name in bounds_override:
             return min(worst, bounds_override[name])
         return worst
+
+    def bound_of_pc(name: str, worst_pc: np.ndarray) -> np.ndarray:
+        if bounds_pc_override and name in bounds_pc_override:
+            return np.minimum(worst_pc, bounds_pc_override[name])
+        return worst_pc
 
     def conv_tlu(x: _Tensor, w, bn_p, bn_s, stride, padding, *,
                  fused_relu_scale=None, out_scale, out_relu=False):
@@ -262,6 +414,26 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
         lo_q, hi_q = act_qrange(bw, signed=True, relu=out_relu)
         return add_site(acc, (oh, ow, cout), bound, cout, value_fn,
                         out_scale, lo_q, hi_q)
+
+    def conv_acc(x: _Tensor, w, bn_p, bn_s, stride, padding):
+        """Conv -> folded BN as a RAW accumulator branch (no requant TLU).
+
+        Returns (acc_name, shape, k, bias, bound_pc): channel c of the
+        accumulator carries the float value ``k[c] * acc + bias[c]`` with
+        k = x.scale * s_w * bn_gamma_hat (sign included) — the
+        requant-elided residual path (``residual_mode='fused'``)."""
+        w_int, s_w = _quantize_weight(w, bw)
+        kh = w_int.shape[0]
+        oh = (x.shape[0] + 2 * padding - kh) // stride + 1
+        ow = (x.shape[1] + 2 * padding - kh) // stride + 1
+        cout = w_int.shape[-1]
+        acc = fresh("acc")
+        ops.append(Conv(x.name, w_int, stride, padding, acc))
+        shapes[acc] = (oh, ow, cout)
+        A, Bb = _bn_affine(bn_p, bn_s)
+        k = x.scale * s_w * A
+        bound_pc = bound_of_pc(acc, conv_bound_pc(w_int, x))
+        return acc, (oh, ow, cout), k, Bb, bound_pc
 
     # ---- input quantization
     # The QAT model carries its own input quantizer (stem QuantIdentity,
@@ -344,6 +516,38 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
         a1 = conv_tlu(h, np.asarray(bp["c1"]["w"]), bp["bn1"], bs["bn1"],
                       stride, 1, out_scale=scale_of(bp["relu1"]),
                       out_relu=True)
+        s_r2 = scale_of(bp["relu2"])
+        lo2, hi2 = act_qrange(bw, signed=False, relu=True)
+
+        if residual_mode == "fused":
+            # requant-elided residual: raw conv2 / shortcut accumulators
+            # (BN folded into per-channel scale+bias) feed the add through
+            # per-channel minimal multipliers; relu2's per-channel table
+            # absorbs scale and bias.  Elides the quant_out / quant_sc PBS
+            # layers entirely (one bootstrap per block output element).
+            an, a_shape, ka, bias_a, bnd_a = conv_acc(
+                a1, np.asarray(bp["c2"]["w"]), bp["bn2"], bs["bn2"], 1, 1)
+            if indim != outdim:
+                bn_, _, kb, bias_b, bnd_b = conv_acc(
+                    h, np.asarray(bp["shortcut"]["w"]), bp["bn_sc"],
+                    bs["bn_sc"], stride, 0)
+            else:
+                bn_ = h.name
+                kb = np.full(outdim, h.scale)
+                bias_b = np.zeros(outdim)
+                bnd_b = np.full(outdim, float(h.absmax))
+            ca, cb, s_v = unify_multipliers_pc(ka, kb, bnd_a, bnd_b, s_r2)
+            bias_v = bias_a + bias_b
+            v_name = fresh("v")
+            ops.append(AddScaledPC(an, ca, bn_, cb, 0, 0, v_name))
+            shapes[v_name] = a_shape
+            v_bound = int(max((np.abs(ca) * bnd_a
+                               + np.abs(cb) * bnd_b).max(), 1))
+            h = add_site(v_name, a_shape, v_bound, a_shape[-1],
+                         lambda c, a, s_v=s_v, b=bias_v: s_v[c] * a + b[c],
+                         s_r2, lo2, hi2)
+            continue
+
         a2 = conv_tlu(a1, np.asarray(bp["c2"]["w"]), bp["bn2"], bs["bn2"],
                       1, 1, out_scale=scale_of(bp["quant_out"]))
 
@@ -362,8 +566,6 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
         v_bound = bound_of(v_name, max(abs(ca * a2.lo + cb * sc.lo),
                                        abs(ca * a2.hi + cb * sc.hi), 1))
 
-        s_r2 = scale_of(bp["relu2"])
-        lo2, hi2 = act_qrange(bw, signed=False, relu=True)
         h = add_site(v_name, a2.shape, v_bound, a2.shape[-1],
                      lambda c, a, s_v=s_v: s_v * a + 0.0 * c,
                      s_r2, lo2, hi2)
@@ -394,7 +596,7 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
             elif isinstance(op, Window):
                 n_budget[op.x] = max(n_budget.get(op.x, 0),
                                      n_budget.get(op.out, 0))
-            elif isinstance(op, AddScaled):
+            elif isinstance(op, (AddScaled, AddScaledPC)):
                 n_budget[op.a] = max(n_budget.get(op.a, 0), n_budget[op.out])
                 n_budget[op.b] = max(n_budget.get(op.b, 0), n_budget[op.out])
 
@@ -413,7 +615,7 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
                 enc[op.out] = n_budget.get(op.out, 0)
             elif isinstance(op, (Conv, PoolSum, Window)):
                 enc[op.out] = enc[op.x]
-            elif isinstance(op, AddScaled):
+            elif isinstance(op, (AddScaled, AddScaledPC)):
                 enc[op.out] = n_budget[op.out]
         return enc
 
@@ -437,7 +639,7 @@ def _lower_once(params, state, spec: ModelSpec, *, n_bits: int = 5,
 
     # alignment exponents for AddScaled inputs use actual input encodings
     for op in ops:
-        if isinstance(op, AddScaled):
+        if isinstance(op, (AddScaled, AddScaledPC)):
             op.ja = enc[op.a] - n_budget[op.out]
             op.jb = enc[op.b] - n_budget[op.out]
             assert op.ja >= 0 and op.jb >= 0

@@ -17,6 +17,8 @@ Conventions (CGGI/TFHE standard):
     GLWE key.  Keyswitch key: LWE encryptions of each big-LWE key bit times
     the gadget, under the small key.
 """
+import hashlib
+import secrets
 from dataclasses import dataclass
 
 import numpy as np
@@ -24,6 +26,75 @@ import numpy as np
 from .params import TFHEParams
 
 U64 = np.uint64
+
+
+class Csprng:
+    """Cryptographic PRNG (SHAKE-256 in counter mode) for key material.
+
+    Secret keys, encryption masks, and noise must not come from numpy's
+    PCG64 (a statistical generator whose state is recoverable from outputs);
+    Concrete/TFHE-rs use a CSPRNG for all of them.  SHAKE-256 keyed with a
+    256-bit secret gives cryptographic-strength expansion while keeping
+    generation *deterministic for a fixed seed* — needed for reproducible
+    tests, key caching, and the same-seed -> same-ciphertext determinism
+    contract (SURVEY §5).  ``seed=None`` draws a fresh OS-entropy key
+    (production mode).
+
+    Implements the small slice of the ``numpy.random.Generator`` API the
+    key paths use (``integers`` over power-of-two spans, ``normal``), so it
+    is a drop-in replacement at every call site.
+    """
+
+    def __init__(self, seed: int | bytes | None = None):
+        if seed is None:
+            self._key = secrets.token_bytes(32)
+        elif isinstance(seed, (bytes, bytearray)):
+            self._key = hashlib.sha256(bytes(seed)).digest()
+        else:
+            self._key = hashlib.sha256(
+                b"dct-cryptonets-tpu/csprng/v1:"
+                + int(seed).to_bytes(16, "little", signed=True)).digest()
+        self._ctr = 0
+
+    def _raw(self, nbytes: int) -> bytes:
+        h = hashlib.shake_256(self._key + self._ctr.to_bytes(16, "little"))
+        self._ctr += 1
+        return h.digest(nbytes)
+
+    def _u64(self, count: int) -> np.ndarray:
+        return np.frombuffer(self._raw(8 * max(count, 1)), np.uint64).copy()
+
+    @staticmethod
+    def _shape(size) -> tuple:
+        if size is None:
+            return ()
+        return tuple(size) if isinstance(size, (tuple, list)) else (int(size),)
+
+    def integers(self, low, high, size=None, dtype=np.int64) -> np.ndarray:
+        """Uniform ints in [low, high) — span must be a power of two (the
+        only spans the key paths use), masked from raw 64-bit words so the
+        distribution is exactly uniform."""
+        span = int(high) - int(low)
+        assert span > 0 and (span & (span - 1)) == 0, \
+            f"Csprng.integers requires a power-of-two span, got {span}"
+        shape = self._shape(size)
+        n = int(np.prod(shape)) if shape else 1
+        v = (self._u64(n) & U64(span - 1)).reshape(shape)
+        out = v.astype(np.int64) + int(low)
+        return out.astype(dtype) if dtype is not np.int64 else out
+
+    def normal(self, loc: float, scale: float, size=None) -> np.ndarray:
+        """Gaussian via Box-Muller over CSPRNG uniforms (float64)."""
+        shape = self._shape(size)
+        n = int(np.prod(shape)) if shape else 1
+        m = n + (n & 1)
+        # 53-bit mantissa uniforms in (0, 1]
+        u = (self._u64(2 * m) >> np.uint64(11)).astype(np.float64)
+        u = (u + 1.0) * 2.0 ** -53
+        r = np.sqrt(-2.0 * np.log(u[:m]))
+        th = 2.0 * np.pi * u[m:]
+        z = np.concatenate([r * np.cos(th), r * np.sin(th)])[:n]
+        return (loc + scale * z).reshape(shape)
 
 
 def _negacyclic_polymul_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -75,8 +146,9 @@ class ServerKeyMaterial:
     ksk: np.ndarray
 
 
-def keygen(params: TFHEParams, seed: int = 0) -> ClientKeys:
-    rng = np.random.default_rng(seed)
+def keygen(params: TFHEParams, seed: int | None = 0) -> ClientKeys:
+    """Generate client secret keys (CSPRNG; ``seed=None`` = OS entropy)."""
+    rng = Csprng(seed)
     lwe_key = rng.integers(0, 2, params.lwe_dim).astype(U64)
     glwe_key = rng.integers(0, 2, (params.glwe_dim, params.poly_size)).astype(U64)
     return ClientKeys(params, lwe_key, glwe_key)
@@ -163,8 +235,8 @@ def make_keyswitch_key(ck: ClientKeys, rng) -> np.ndarray:
     return encrypt_lwe(ck, mus, rng)
 
 
-def make_server_keys(ck: ClientKeys, seed: int = 1) -> ServerKeyMaterial:
-    rng = np.random.default_rng(seed)
+def make_server_keys(ck: ClientKeys, seed: int | None = 1) -> ServerKeyMaterial:
+    rng = Csprng(seed)
     bsk = make_bootstrap_key(ck, rng)
     ksk = make_keyswitch_key(ck, rng)
     return ServerKeyMaterial(ck.params, bsk, ksk)
@@ -216,11 +288,12 @@ class AuxServerKeyMaterial:
 
 
 def make_aux_server_keys(main_ck: ClientKeys, aux_params: TFHEParams,
-                         seed: int = 2, back_base_log: int = 4,
+                         seed: int | None = 2, back_base_log: int = 4,
                          back_levels: int = 6) -> AuxServerKeyMaterial:
     """Generate the auxiliary key set for exact-rounding LSB extraction."""
-    rng = np.random.default_rng(seed)
-    aux_ck = keygen(aux_params, seed=seed + 10_000)
+    rng = Csprng(seed)
+    aux_ck = keygen(aux_params,
+                    seed=None if seed is None else seed + 10_000)
     bsk = make_bootstrap_key(aux_ck, rng)
     ksk_fwd = make_lwe_to_lwe_keyswitch_key(
         main_ck.big_lwe_key, aux_ck.lwe_key,

@@ -18,6 +18,20 @@ add multipliers, then checks every decision the encrypted runtime makes:
   accounted in the input-noise term); the top bit is the binding one
   because its misread moves the phase by a full window.
 
+The audit additionally chooses a per-TLU **partial-clearing depth**
+``keep_low``: the lowest dropped accumulator bits sit at
+``2^(63 - n_in + j)`` on the torus — for typical budgets that is *below*
+the mod-switch noise floor (sigma_ms ~ 2^54.6 at N=2048), so bootstrapping
+them clear buys nothing.  Leaving the low ``keep_low`` bits uncleared
+turns them into a centered bounded offset of variance
+``(2^keep_low * Delta)^2 / 12`` on the main window decision (plus a
+reduced sign margin ``2^(62 - keep_low) - ...`` on each remaining
+extraction bit, both accounted below) and saves one aux bootstrap per
+skipped bit per site — the dominant extraction-cost lever.  The runtime
+centers the residual with a plaintext constant (fhe/runtime.py) so
+execute == simulate still holds whenever no decision slips, i.e. with
+the audited p_error.
+
 The audit also *chooses* throughput knobs: the largest per-TLU-layer main
 blind-rotate limb drop and the largest aux-extraction limb drop that keep
 every decision inside the target ``p_error`` — the dropped-limb noise of a
@@ -30,8 +44,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Rescale, Tlu, Window)
+from .circuit import (AddScaled, AddScaledPC, Circuit, Conv, Output,
+                      PoolSum, QuantIn, Rescale, Tlu, Window)
 from .params import ExactRoundingConfig, NoiseModel, TFHEParams
 
 MAX_DROP = 4   # limb drops >= 5 are catastrophic for every preset
@@ -64,8 +78,14 @@ class TluReport:
     shift: int
     drop_limbs: int           # chosen main blind-rotate limb drop
     p_window: float           # main window-decision error probability
-    p_extract: float          # top extraction-bit guard error (exact mode)
+    p_extract: float          # extraction-guard error (exact mode)
     cross: int = 0            # chosen main cross skip (pbs.py ``cross``)
+    keep_low: int = 0         # low accumulator bits left uncleared
+
+    @property
+    def cleared(self) -> int:
+        """Aux bootstraps actually paid per site."""
+        return max(self.shift - self.keep_low, 0)
 
     @property
     def p_total(self) -> float:
@@ -96,6 +116,9 @@ class AuditResult:
     def cross_for(self, acc_name: str) -> int:
         return self.by_acc[acc_name].cross
 
+    def keep_for(self, acc_name: str) -> int:
+        return self.by_acc[acc_name].keep_low
+
     def summary(self) -> str:
         lines = [f"noise audit: {len(self.reports)} TLU layers, "
                  f"method={self.rounding_method}, target p_error "
@@ -104,7 +127,8 @@ class AuditResult:
         for r in self.reports:
             lines.append(
                 f"  {r.acc:<10} sites={r.sites:<6} r={r.in_bits} "
-                f"shift={r.shift} drop={r.drop_limbs}+x{r.cross} "
+                f"shift={r.shift} keep={r.keep_low} "
+                f"drop={r.drop_limbs}+x{r.cross} "
                 f"p_window={r.p_window:.2e} p_extract={r.p_extract:.2e}")
         lines.append(f"  max per-PBS p_error: {self.max_p_error:.2e}")
         return "\n".join(lines)
@@ -178,7 +202,19 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         def bit_var(knob):
             return (aux_nm.var_blind_rotate() + _knob_var(aux_nm, knob)
                     + var_ks_back)
+
+        Bf = 2.0 ** aux.ks_base_log
+        lf = aux.ks_levels
+        var_ks_fwd = (main_big_n * lf * aux_nm.var_fresh_lwe()
+                      * (Bf * Bf + 2.0) / 12.0
+                      + main_big_n * (q / Bf ** lf) ** 2 / 24.0
+                      + NoiseModel.var_ks_drop(main_big_n * lf, aux.lwe_dim,
+                                               aux.ks_base_log,
+                                               aux_fwd_ks_drop))
+        var_aux_sign = aux_nm.var_mod_switch() + var_ks_fwd
     else:
+        var_aux_sign = 0.0
+
         def bit_var(knob):
             return 0.0
 
@@ -203,9 +239,13 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
             senses[op.out] = dict(senses[op.x])
         elif isinstance(op, Rescale):
             senses[op.out] = scaled(senses[op.x], 4.0 ** op.j)
-        elif isinstance(op, AddScaled):
-            fa = float(op.ca * (1 << op.ja)) ** 2
-            fb = float(op.cb * (1 << op.jb)) ** 2
+        elif isinstance(op, (AddScaled, AddScaledPC)):
+            if isinstance(op, AddScaledPC):
+                fa = float(np.abs(op.ca).max() * (1 << op.ja)) ** 2
+                fb = float(np.abs(op.cb).max() * (1 << op.jb)) ** 2
+            else:
+                fa = float(op.ca * (1 << op.ja)) ** 2
+                fb = float(op.cb * (1 << op.jb)) ** 2
             m = scaled(senses[op.a], fa)
             for k, v in scaled(senses[op.b], fb).items():
                 m[k] = m.get(k, 0.0) + v
@@ -221,6 +261,7 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
     # (fewest matmuls), then repair the worst decision one rung at a time.
     LAST = len(KNOB_LADDER) - 1
     ki: dict[str, int] = {t.x: 0 for t in tlus}     # index into KNOB_LADDER
+    ku: dict[str, int] = {t.x: 0 for t in tlus}     # keep_low per TLU
 
     def src_var(name: str) -> float:
         if name == "enc":
@@ -228,23 +269,44 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         return nm.var_blind_rotate() + _knob_var(nm, KNOB_LADDER[ki[name]])
 
     def decision_p(t: Tlu) -> tuple[float, float]:
+        u = ku[t.x]
+        shift = t.spec.shift
+        n_in = t.spec.in_bits + shift
+        cleared = max(shift - u, 0)
         var_in = sum(a2 * src_var(s)
                      for s, a2 in decision_sources[t.x].items())
-        var_in += t.spec.shift * bit_var(KNOB_LADDER[aux_ki])
+        var_in += cleared * bit_var(KNOB_LADDER[aux_ki])
         margin_w = 2.0 ** (62 - t.spec.in_bits)
-        p_w = _erfc_z(margin_w, var_in + var_fixed)
+        # partial clearing: the uncleared low u bits are a centered bounded
+        # offset, uniform over a width-2^u*Delta window -> var w^2/12
+        var_unif = (2.0 ** (2 * (63 - n_in + u))) / 12.0 if u > 0 else 0.0
+        p_w = _erfc_z(margin_w, var_in + var_unif + var_fixed)
         p_x = 0.0
-        if rounding_method == "exact" and t.spec.shift > 0:
-            # top extraction bit: guard margin Delta/2 amplified view —
-            # noise * 2^(n_in - lo) vs quarter torus == noise vs
-            # 2^(61 - in_bits); aux-set KS/MS noise is negligible next to
-            # the quarter-torus margin and is left out.
-            p_x = _erfc_z(margin_w / 2.0, var_in)
+        if rounding_method == "exact" and cleared > 0:
+            # top extraction bit (lo = shift-1): guard margin is the
+            # quarter torus minus the uncleared-junk span, de-amplified by
+            # the shift-up factor 2^(n_in - lo).  At u=0 this reduces to
+            # the classic margin_w/2 vs unamplified accumulator noise.
+            # Lower-bit misreads self-cancel (see module docstring); the
+            # top bit is binding because its misread moves a full window.
+            m_top = ((2.0 ** 62 - (2.0 ** u - 1.0) * 2.0 ** (63 - shift))
+                     / 2.0 ** (n_in - shift + 1))
+            p_x = _erfc_z(m_top, var_in)
+            # aux-side (fwd-KS + mod-switch) sign slips: margin shrinks to
+            # 2^(62-u) at the lowest extracted bit — negligible at u=0,
+            # the binding constraint on large u
+            for lo in range(u, shift):
+                m_aux = 2.0 ** 62 - (2.0 ** u - 1.0) * 2.0 ** (62 - lo)
+                p_x += _erfc_z(m_aux, var_aux_sign)
         return p_w, p_x
+
+    stuck: set[str] = set()   # TLUs infeasible even with everything lowered
 
     def worst() -> tuple[float, Tlu | None]:
         wp, wt = 0.0, None
         for t in tlus:
+            if t.x in stuck:
+                continue
             p_w, p_x = decision_p(t)
             if p_w + p_x > wp:
                 wp, wt = p_w + p_x, t
@@ -272,7 +334,53 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         elif best_src:
             ki[best_src[0]] += 1
         else:
-            break   # nothing left to lower — circuit infeasible as-is
+            # this decision cannot be repaired by any knob (its floor is
+            # var_fixed + baseline noise) — park it and keep repairing the
+            # others; the caller sees the violation via max_p_error
+            stuck.add(wt.x)
+
+    # ---- partial-clearing depth: with knobs fixed, each TLU's keep_low
+    # affects only its own decision (uniform offset + saved bit
+    # injections + reduced sign margins are all local), so maximize it
+    # per TLU independently against the remaining p_error slack.
+    KEEP_MAX = 4
+    if rounding_method == "exact":
+        for t in tlus:
+            best_u = 0
+            for u in range(1, min(t.spec.shift, KEEP_MAX) + 1):
+                ku[t.x] = u
+                p_w, p_x = decision_p(t)
+                if p_w + p_x <= p_error:
+                    best_u = u
+                else:
+                    break
+            ku[t.x] = best_u
+
+    # ---- knob restore: phase 1 chose knobs under full-depth extraction
+    # injections; with keep_low shrinking them (and its uniform term now
+    # priced in), some knobs may climb back up the ladder.  Shared knobs
+    # (aux, per-source main) must re-check every non-stuck decision.
+    def all_ok() -> bool:
+        for t in tlus:
+            if t.x in stuck:
+                continue
+            p_w, p_x = decision_p(t)
+            if p_w + p_x > p_error:
+                return False
+        return True
+
+    if rounding_method == "exact":
+        while aux_ki > 0:
+            aux_ki -= 1
+            if not all_ok():
+                aux_ki += 1
+                break
+    for name in list(ki):
+        while ki[name] > 0:
+            ki[name] -= 1
+            if not all_ok():
+                ki[name] += 1
+                break
 
     aux_drop, aux_cross = (KNOB_LADDER[aux_ki]
                            if rounding_method == "exact" else (0, 0))
@@ -282,7 +390,8 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         p_w, p_x = decision_p(t)
         d, c = KNOB_LADDER[ki[t.x]]
         rep = TluReport(t.x, int(np.prod(shapes[t.x])), t.spec.in_bits,
-                        t.spec.shift, d, p_w, p_x, cross=c)
+                        t.spec.shift, d, p_w, p_x, cross=c,
+                        keep_low=ku[t.x])
         res.reports.append(rep)
         res.by_acc[t.x] = rep
     return res

@@ -364,22 +364,25 @@ def build_bigd_strips(dbl, interpret: bool | None = None):
 
 
 def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
-                      ohi_ref, olo_ref, toep_ref, bucket_ref, sems, *,
+                      ohi_ref, olo_ref, bucket_ref, sems, *,
                       n_poly: int, rows: int, L: int, drop: int,
                       dbytes: int, block_m: int, cross: int = 0):
     """One (m-block, j_out, combo) cell of the fused external product.
 
     combo = vi * rows + r walks the (kept key-byte, GGSW row) pairs for one
-    output polynomial, key-byte major.  Per cell: materialize the full
-    (N, N) negacyclic Toeplitz of (r, j_out, vi) in VMEM scratch from its
-    128-row BigD strip (16 slab copies), then contract each digit-byte
-    plane of row r against it in ONE K=N MXU matmul — accumulation happens
-    inside the MXU, never through VMEM.  Byte-scale buckets use a 2-slot
-    sliding window: contributions of sweep position vi land only in
-    buckets {vi, vi+1}, so bucket vi-1 is complete when vi starts and is
-    flushed into the 64-bit accumulator (dynamic double-word shift).
-    The acc blocks live in the *output* refs, seeded by DMA from the
-    HBM-resident inputs at the first cell.
+    output polynomial, key-byte major.  Per cell: contract each digit-byte
+    plane of row r against the combo's negacyclic Toeplitz as N/128 K=128
+    MXU matmuls whose RHS are STATIC SLICES of the 128-row BigD strip —
+    every (N, N) Toeplitz tile is a slice of the strip by construction
+    (pbs.build_bigd), so nothing is materialized.  (The previous variant
+    copied the full (N, N) matrix into scratch first: amortized at
+    N=2048, but ~half the cell time at the small extraction lattices,
+    which is exactly where PERFORMANCE.md measured the 60-75% utilization
+    gap.)  Byte-scale buckets use a 2-slot sliding window: contributions
+    of sweep position vi land only in buckets {vi, vi+1}, so bucket vi-1
+    is complete when vi starts and is flushed into the 64-bit accumulator
+    (dynamic double-word shift).  The acc blocks live in the *output*
+    refs, seeded by DMA from the HBM-resident inputs at the first cell.
     """
     N = n_poly
     c = pl.program_id(2)
@@ -416,11 +419,6 @@ def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
     def _():
         flush((vi - 1) % 2, vi - 1)                 # bucket vi-1 complete
 
-    # full Toeplitz for (r, j, vi): 16 slab copies from the BigD strip
-    for t0 in range(N // 128):
-        toep_ref[t0 * 128:(t0 + 1) * 128, :] = (
-            big_ref[0, 0, :, N - 128 * (t0 + 1): 2 * N - 128 * (t0 + 1)])
-
     for u in range(dbytes):
         dref = (dB0_ref, dB1_ref)[u]
         si = u + vi                      # bucket index = byte scale - drop
@@ -428,8 +426,18 @@ def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
         # scale >= 8 wraps out of q; si < cross is the audit's cross skip
         @pl.when((si < nbuckets) & (si >= cross))
         def _(dref=dref, si=si):
-            d = jax.lax.dot(dref[0], toep_ref[...],
+            # d (TM, N) x Toeplitz (N, N) as N/128 native-depth matmuls
+            # against static strip slices: Toeplitz rows [t0*128, ..) are
+            # strip[:, N - 128*(t0+1) : 2N - 128*(t0+1)]
+            d = jax.lax.dot(dref[0][:, 0:128],
+                            big_ref[0, 0, :, N - 128: 2 * N - 128],
                             preferred_element_type=jnp.int32)
+            for t0 in range(1, N // 128):
+                d += jax.lax.dot(
+                    dref[0][:, t0 * 128:(t0 + 1) * 128],
+                    big_ref[0, 0, :, N - 128 * (t0 + 1):
+                            2 * N - 128 * (t0 + 1)],
+                    preferred_element_type=jnp.int32)
             slot = si % 2
             bucket_ref[pl.ds(slot, 1)] = bucket_ref[pl.ds(slot, 1)] + d[None]
 
@@ -483,7 +491,6 @@ def fused_external(dB0, dB1, bigd, acc_hi, acc_lo, drop: int, cross: int = 0,
         out_specs=[spec_out, spec_out],
         out_shape=[jax.ShapeDtypeStruct((J, M, N), U32)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((N, N), jnp.int8),            # full Toeplitz
             pltpu.VMEM((2, block_m, N), jnp.int32),  # sliding bucket window
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -13,9 +13,10 @@ Design choices for TPU:
 * Default lattice parameters follow the shape of public TFHE-rs /
   Concrete parameter sets for 128-bit security at q=2^64
   (LWE n≈700-900 with sigma/q ~ 2^-17..2^-19, GLWE k=1 N=2048 with
-  sigma/q ~ 2^-52).  Security should be re-validated with the
-  lattice-estimator before production use; the sets here are chosen for
-  architecture/performance work and mirror published parameter shapes.
+  sigma/q ~ 2^-52).  ``docs/SECURITY.md`` places every set against the
+  published 128-bit contour (anchor sets + interpolation) and flags the
+  rows that need lattice-estimator re-validation before production use;
+  key material randomness comes from the CSPRNG in ``fhe.keys.Csprng``.
 
 The NoiseModel implements the standard CGGI noise-propagation formulas so
 tests can assert that a parameter set meets a target per-PBS error

@@ -696,6 +696,10 @@ def make_test_polys(tables: jax.Array, params: TFHEParams,
     """
     N = params.poly_size
     M, tsize = tables.shape
+    assert tsize <= N, (
+        f"TLU table of {tsize} entries exceeds the parameter set's "
+        f"polynomial size N={N} — the circuit's rounded precision must "
+        f"satisfy 2^r <= N (pick a larger preset)")
     reps = N // tsize
     # window-expand: (M, N) int32
     expanded = jnp.repeat(tables, reps, axis=1)
@@ -779,30 +783,45 @@ def preprocess_aux_keys(ak) -> DeviceAuxKeys:
 @partial(jax.jit, static_argnames=("aux_params", "n_in", "shift",
                                    "back_base_log", "back_levels",
                                    "drop_limbs", "cross", "fwd_ks_drop",
-                                   "back_ks_drop", "engine"))
+                                   "back_ks_drop", "keep_low", "engine"))
 def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
                    aux_params: TFHEParams, n_in: int, shift: int,
                    back_base_log: int, back_levels: int,
                    drop_limbs: int = 0, cross: int = 0,
                    fwd_ks_drop: int = 0, back_ks_drop: int = 0,
-                   engine: str | None = None) -> T.T64:
-    """Subtract the low ``shift`` bits of an n_in-bit-encoded accumulator.
+                   keep_low: int = 0, engine: str | None = None) -> T.T64:
+    """Subtract bits [keep_low, shift) of an n_in-bit-encoded accumulator.
 
     ct: (M, kN_main+1) big-LWE whose phase encodes v * 2^(63 - n_in),
     v >= 0 (the runtime recenters before clearing).  Returns a ciphertext
-    of (v - v mod 2^shift) * 2^(63 - n_in) (+ the original noise and small
-    extraction/keyswitch noise).  With the round-half-up constant added
-    beforehand, the caller's main PBS then reads exactly the simulator's
-    rounded index.  Costs ``shift`` aux-set sign bootstraps per sample.
+    of (v - (v mod 2^shift - v mod 2^keep_low)) * 2^(63 - n_in) (+ the
+    original noise and small extraction/keyswitch noise).  With the
+    round-half-up constant added beforehand, the caller's main PBS then
+    reads exactly the simulator's rounded index whenever no audited
+    decision slips.  Costs ``shift - keep_low`` aux sign bootstraps per
+    sample.
+
+    ``keep_low`` (the audit's partial-clearing depth) leaves the lowest
+    bits uncleared: they sit below the main mod-switch noise floor, so
+    clearing them is wasted work.  Each remaining bit's shift-up then
+    carries the uncleared junk j in [0, 2^keep_low) at 2^(63 - lo); the
+    sign offset is re-centered per bit to
+    ``2^62 - (2^keep_low - 1) * 2^(62 - lo)`` which keeps a symmetric
+    margin of at least 2^(62 - keep_low) around both half-torus
+    boundaries (the audit checks it against the aux KS+MS noise).
     """
     n_aux, N_aux = aux_params.lwe_dim, aux_params.poly_size
     M = ct.hi.shape[0]
     w = ct
-    for lo in range(shift):
-        # bit lo -> sign position 63; bits above wrap away, bits below are
-        # cleared.  Quarter-torus offset robustifies the sign decision.
+    for lo in range(keep_low, shift):
+        # bit lo -> sign position 63; bits above wrap away, bits in
+        # [keep_low, lo) are cleared, bits below keep_low are centered by
+        # the reduced offset.
         t = T.shift_left(w, n_in - lo)
         off = T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), 62)
+        if keep_low > 0:
+            off = T.sub(off, T.from_i32_shifted(
+                jnp.full((M, 1), (1 << keep_low) - 1, jnp.int32), 62 - lo))
         body = T.add(T.T64(t.hi[:, -1:], t.lo[:, -1:]), off)
         t = T.T64(jnp.concatenate([t.hi[:, :-1], body.hi], axis=1),
                   jnp.concatenate([t.lo[:, :-1], body.lo], axis=1))

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import torus as T
-from .circuit import (AddScaled, Circuit, Conv, Output, PoolSum, QuantIn,
-                      Rescale, Tlu, Window, simulate)
+from .circuit import (AddScaled, AddScaledPC, Circuit, Conv, Output, PoolSum,
+                      QuantIn, Rescale, Tlu, Window, simulate)
 from .keys import (ClientKeys, decrypt_lwe, encrypt_lwe, keygen,
                    make_aux_server_keys, make_server_keys)
 from .params import (ExactRoundingConfig, TFHEParams,
@@ -165,8 +165,13 @@ class CompiledModule:
 
     # -- client side ------------------------------------------------------
     def encrypt(self, x: np.ndarray, rng=None) -> T.T64:
-        """Quantize + encrypt a float input batch (B, H, W, C)."""
-        rng = rng or np.random.default_rng(1234)
+        """Quantize + encrypt a float input batch (B, H, W, C).
+
+        ``rng``: a :class:`~.keys.Csprng` (default: fresh OS entropy —
+        encryption masks are key material; pass ``Csprng(seed)`` for the
+        deterministic same-seed -> same-ciphertext contract)."""
+        from .keys import Csprng
+        rng = rng or Csprng(None)
         qin = self.circuit.ops[0]
         assert isinstance(qin, QuantIn)
         qmax = 2 ** (qin.bits - 1) - 1
@@ -248,6 +253,14 @@ class CompiledModule:
                 b = T.scalar_mul(env[op.b], op.cb * (1 << op.jb))
                 env[op.out] = T.add(a, b)
                 t_lvl += time.time() - t_op
+            elif isinstance(op, AddScaledPC):
+                # per-channel multipliers broadcast over the trailing
+                # channel axis of the (B, n1, H, W, C) ciphertext layout
+                ma = jnp.asarray(op.ca, jnp.int32) * (1 << op.ja)
+                mb = jnp.asarray(op.cb, jnp.int32) * (1 << op.jb)
+                env[op.out] = T.add(T.scalar_mul(env[op.a], ma),
+                                    T.scalar_mul(env[op.b], mb))
+                t_lvl += time.time() - t_op
             elif isinstance(op, Rescale):
                 # phase-only re-encode to a finer budget (circuit.Rescale)
                 x = env[op.x]
@@ -303,10 +316,26 @@ class CompiledModule:
         #   +2^(62-in_bits)), after which clear_low_bits subtracts the low
         #   `shift` bits so the phase sits exactly on window centers
         #   (Concrete's default EXACT mode).
-        off_log2 = (62 - spec.in_bits) if exact else (62 - n_in)
-        const = T.add(T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), 62),
-                      T.from_i32_shifted(jnp.ones((M, 1), jnp.int32),
-                                         off_log2))
+        const = T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), 62)
+        if spec.shift > 0:
+            # rounding offset — only when bits are actually dropped.  With
+            # shift == 0 the phase already sits on a window center and the
+            # half-LSB dither would park it exactly ON the window boundary,
+            # where the nearest-window read becomes a noise-sign coin flip.
+            off_log2 = (62 - spec.in_bits) if exact else (62 - n_in)
+            const = T.add(const, T.from_i32_shifted(
+                jnp.ones((M, 1), jnp.int32), off_log2))
+        # partial clearing (audit's keep_low): the lowest `keep` dropped
+        # bits stay uncleared; subtract 2^(keep-1)*Delta so the residual
+        # junk is centered on the window center (at keep == shift this
+        # exactly cancels the round-half-up constant — the whole dropped
+        # range rides as a centered bounded offset, no aux bootstraps).
+        keep = 0
+        if exact and self.drop_policy == "audit" and self.audit is not None:
+            keep = min(self.audit.keep_for(op.x), spec.shift)
+        if keep > 0:
+            const = T.sub(const, T.from_i32_shifted(
+                jnp.ones((M, 1), jnp.int32), 62 - n_in + keep))
         body = T.add(T.T64(flat.hi[:, -1:], flat.lo[:, -1:]), const)
         flat = T.T64(jnp.concatenate([flat.hi[:, :-1], body.hi], axis=1),
                      jnp.concatenate([flat.lo[:, :-1], body.lo], axis=1))
@@ -322,17 +351,17 @@ class CompiledModule:
         for s in range(0, M, self.pbs_batch):
             e = min(s + self.pbs_batch, M)
             chunk = T.T64(flat.hi[s:e], flat.lo[s:e])
-            if exact:
+            if exact and spec.shift > keep:
                 assert self.aux_keys is not None, "keygen() first"
                 chunk = clear_low_bits(
                     chunk, self.aux_keys, cfg.aux, n_in, spec.shift,
                     cfg.back_base_log, cfg.back_levels,
                     drop_limbs=self.aux_drop_limbs, cross=self.aux_cross,
                     fwd_ks_drop=self.aux_fwd_ks_drop,
-                    back_ks_drop=self.aux_back_ks_drop)
+                    back_ks_drop=self.aux_back_ks_drop, keep_low=keep)
                 self.stats["aux_pbs_executed"] = (
                     self.stats.get("aux_pbs_executed", 0)
-                    + spec.shift * (e - s))
+                    + (spec.shift - keep) * (e - s))
             res = bootstrap(chunk, site_tables[s:e], self.device_keys,
                             self.params, out_delta, drop_limbs, cross)
             outs_hi.append(res.hi)
@@ -366,19 +395,23 @@ class CompiledModule:
 
     # -- the reference-style entry point ----------------------------------
     def forward(self, x: np.ndarray, fhe: str = "simulate",
-                drop_limbs: int | None = None, mesh=None) -> np.ndarray:
+                drop_limbs: int | None = None, mesh=None,
+                enc_rng=None) -> np.ndarray:
         """x: float input batch (B, H, W, C) -> float features (B, F).
 
         fhe='simulate': bit-exact integer simulation (fast, clear).
         fhe='execute':  encrypt -> encrypted eval -> decrypt.
         mesh: optional jax.sharding.Mesh — shards the ciphertext batch
         across devices (keys must be placed first via ``shard_over``).
+        enc_rng: optional :class:`~.keys.Csprng` for the encryption masks
+        (default fresh OS entropy; pass a seeded one for the deterministic
+        same-seed -> same-ciphertext contract).
         """
         if fhe == "simulate":
             return np.asarray(simulate(self.circuit, jnp.asarray(x)))
         if fhe == "execute":
             assert self.client_keys is not None, "call keygen() first"
-            ct = self.encrypt(x)
+            ct = self.encrypt(x, rng=enc_rng)
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
                 ct = T.T64(*shard_batch(mesh, list(ct)))
@@ -395,7 +428,8 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
                       pbs_batch: int = 4096,
                       drop_policy: str = "none",
                       p_error: float = 0.01,
-                      range_margin: float = 2.0) -> CompiledModule:
+                      range_margin: float = 1.0,
+                      residual_mode: str = "fused") -> CompiledModule:
     """End-to-end compile: QAT model -> circuit -> executable module.
 
     Mirrors ``compile_brevitas_qat_model(model.module.feature, calib_data,
@@ -416,7 +450,7 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
     circ = lower(params, state, spec, n_bits=n_bits,
                  rounding_threshold_bits=rounding_threshold_bits,
                  calib_absmax=calib_absmax, calib_data=calib_data,
-                 range_margin=range_margin)
+                 range_margin=range_margin, residual_mode=residual_mode)
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
     p = tfhe_params or params_for_precision(max_r)
     return CompiledModule(circ, p, pbs_batch=pbs_batch,

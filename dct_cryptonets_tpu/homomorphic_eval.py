@@ -23,7 +23,8 @@ from .config import parse_args
 from .data import pipeline
 from .data.codec import CodecConfig, dct_ingest
 from .fhe.runtime import compile_ptq_model, compile_qat_model
-from .models import build_spec, calibrate_scales, forward, init_model
+from .models import (build_spec, calibrate_scales, forward, init_model,
+                     model_summary)
 from .utils import AverageMeter, topk_accuracy
 
 
@@ -48,19 +49,74 @@ def test_unencrypted(params, state, spec, codec_cfg, ds, idx, batch):
 
 
 def test_encrypted(module, clf_w, clf_b, codec_cfg, ds, idx, batch, fhe_mode,
-                   drop_limbs=0):
+                   drop_limbs=0, mesh=None, resume=None):
     """Encrypted-trunk + clear-classifier eval (reference
-    homomorphic_eval.py:60-86)."""
+    homomorphic_eval.py:60-86).
+
+    ``mesh``: optional device mesh — the ciphertext batch shards across it
+    (keys must already be placed via ``module.shard_over(mesh)``).
+    ``resume``: optional :class:`SweepState` — per-batch results persist to
+    disk so a multi-hour execute sweep survives interruption (SURVEY §5
+    failure recovery; absent in the reference, which restarts from zero).
+    """
     top1, top5 = AverageMeter(), AverageMeter()
-    for images, labels in pipeline.batches(ds, idx, batch, shuffle=False,
-                                           drop_remainder=False):
+    for bi, (images, labels) in enumerate(pipeline.batches(
+            ds, idx, batch, shuffle=False, drop_remainder=False)):
+        if resume is not None and resume.has(bi):
+            p1, p5, n = resume.get(bi)
+            top1.update(p1, n)
+            top5.update(p5, n)
+            continue
         x = np.asarray(_ingest(images, codec_cfg))
-        feats = module.forward(x, fhe=fhe_mode, drop_limbs=drop_limbs)
+        feats = module.forward(x, fhe=fhe_mode, drop_limbs=drop_limbs,
+                               mesh=mesh)
         logits = feats @ clf_w + clf_b
         p1, p5 = topk_accuracy(logits, labels)
         top1.update(p1, len(labels))
         top5.update(p5, len(labels))
+        if resume is not None:
+            resume.record(bi, p1, p5, len(labels))
     return top1, top5
+
+
+class SweepState:
+    """Checkpoint/resume for long encrypted-execute sweeps.
+
+    Persists per-batch accuracy records as JSONL keyed by a config tag, so
+    a killed multi-image run (~minutes/image encrypted) resumes where it
+    stopped instead of from zero.  The tag covers everything that changes
+    the numbers (checkpoint, circuit knobs, subset seed); a mismatched tag
+    starts fresh."""
+
+    def __init__(self, path: str, tag: str):
+        self.path = path
+        self.tag = tag
+        self.done: dict = {}
+        if os.path.exists(path):
+            import json
+            with open(path) as fh:
+                for line in fh:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("tag") == tag:
+                        self.done[rec["batch"]] = (rec["top1"], rec["top5"],
+                                                   rec["n"])
+
+    def has(self, bi: int) -> bool:
+        return bi in self.done
+
+    def get(self, bi: int):
+        return self.done[bi]
+
+    def record(self, bi: int, p1: float, p5: float, n: int):
+        import json
+        self.done[bi] = (p1, p5, n)
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps({"tag": self.tag, "batch": bi, "top1": p1,
+                                 "top5": p5, "n": n}) + "\n")
+            fh.flush()
 
 
 def main(argv=None):
@@ -121,6 +177,9 @@ def main_impl(cfg):
     # QAT vs PTQ from the model name, like the reference
     # (homomorphic_eval.py:95-98: 'qat' in name -> brevitas path, else
     # post-training quantization via compile_torch_model)
+    # per-layer topology summary (reference train.py:335-347, torchinfo)
+    print("\n" + model_summary(spec, params))
+
     quantization_type = "QAT" if spec.quantized else "PTQ"
     print(f"\nCompiling FHE Model ({quantization_type})...")
     calib_imgs = trainset.gather(
@@ -137,7 +196,8 @@ def main_impl(cfg):
             pbs_batch=cfg.pbs_batch,
             drop_policy=getattr(cfg, "drop_policy", "none"),
             p_error=cfg.p_error,
-            range_margin=getattr(cfg, "range_margin", 2.0))
+            range_margin=getattr(cfg, "range_margin", 1.0),
+            residual_mode=getattr(cfg, "residual_mode", "fused"))
     else:
         module = compile_ptq_model(
             params, state, spec, calib_x, n_bits=cfg.n_bits,
@@ -151,10 +211,28 @@ def main_impl(cfg):
            else " too high for FHE computation"))
     print(f"PBS per image: {module.circuit.num_pbs}")
 
+    if getattr(cfg, "dump_circuit", None):
+        # the reference dumps its MLIR circuit to mlir.txt
+        # (homomorphic_eval.py:309-311); ours is the Circuit listing plus
+        # the noise-audit summary when the audit policy is active
+        text = module.circuit.dump()
+        if getattr(cfg, "drop_policy", "none") == "audit":
+            text += "\n\n" + module.run_audit().summary()
+        with open(cfg.dump_circuit, "w") as fh:
+            fh.write(text + "\n")
+        print(f"Circuit dumped to {cfg.dump_circuit}")
+
+    mesh = None
     if cfg.fhe_mode == "execute":
         t = time.time()
         module.keygen()
         print(f"Keygen time: {time.time()-t:.2f}s")
+        if getattr(cfg, "mesh", None):
+            from .parallel import data_mesh
+            mesh = data_mesh(int(cfg.mesh))
+            module.shard_over(mesh)
+            print(f"Sharded encrypted eval over {mesh.devices.shape[0]} "
+                  f"device(s) (keys replicated, ciphertext batch sharded)")
 
     clf_w = np.asarray(params["classifier"]["w"])
     clf_b = np.asarray(params["classifier"]["b"])
@@ -178,12 +256,24 @@ def main_impl(cfg):
         print(f"[Validation] Top-1 Acc: {e1.avg:.3f}% | Top-5 Acc: "
               f"{e5.avg:.3f}% | Time per inference: {dt:.3f}")
 
+    resume = None
+    if cfg.fhe_mode == "execute" and getattr(cfg, "sweep_state", None):
+        tag = (f"{cfg.model}|{cfg.checkpoint_path}|{cfg.dataset}|"
+               f"r{cfg.rounding_threshold_bits}|n{cfg.n_bits}|"
+               f"{getattr(cfg, 'residual_mode', 'fused')}|"
+               f"{getattr(cfg, 'drop_policy', 'none')}|b{cfg.test_batch_size}"
+               f"|s{cfg.test_subset}")
+        resume = SweepState(cfg.sweep_state, tag)
+        if resume.done:
+            print(f"Resuming execute sweep: {len(resume.done)} batch(es) "
+                  f"already recorded in {cfg.sweep_state}")
+
     t = time.time()
     print(f"\nRunning ENCRYPTED test inference in {cfg.fhe_mode.upper()} mode "
           f"on a subset of {len(test_idx)} images...")
     e1, e5 = test_encrypted(module, clf_w, clf_b, codec_cfg, testset,
                             test_idx, cfg.test_batch_size, cfg.fhe_mode,
-                            cfg.drop_limbs)
+                            cfg.drop_limbs, mesh=mesh, resume=resume)
     dt = (time.time() - t) / max(len(test_idx), 1)
     print(f"[Test] Top-1 Acc: {e1.avg:.3f}% | Top-5 Acc: {e5.avg:.3f}% | "
           f"Time per inference in FHE: {dt:.2f}")

@@ -378,3 +378,66 @@ def quantize_float_model(params, state, x_calib, spec: ModelSpec,
     merged = graft(skeleton, params)
     params_q = calibrate_scales(merged, state, x_calib, spec_q, train=False)
     return params_q, spec_q
+
+
+def model_summary(spec: ModelSpec, params=None) -> str:
+    """Per-layer topology/parameter table — the framework's analog of the
+    reference's ``torchinfo.summary`` dump (reference train.py:335-347).
+
+    Walks the spec (no forward pass needed): one row per layer with output
+    shape and parameter count; total at the bottom.  With ``params`` the
+    counts come from the actual pytree leaves, otherwise from the spec.
+    """
+    st = spec.stem
+    rows = []
+    H = spec.img_size
+
+    def n_params(*shapes):
+        return sum(int(np.prod(s)) for s in shapes)
+
+    oh = (H + 2 * st.conv1_padding - st.conv1_kernel) // st.conv1_stride + 1
+    w0 = spec.widths[0]
+    rows.append((f"stem conv {st.conv1_kernel}x{st.conv1_kernel}"
+                 f"/s{st.conv1_stride}",
+                 (oh, oh, w0),
+                 n_params((st.conv1_kernel, st.conv1_kernel,
+                           spec.in_channels, w0))))
+    rows.append(("stem bn", (oh, oh, w0), n_params((w0,), (w0,))))
+    if st.relu1:
+        rows.append(("stem relu (quant)", (oh, oh, w0), 0))
+    if st.pool1_kernel is not None:
+        oh = (oh + 2 * 1 - st.pool1_kernel) // st.pool1_stride + 1
+        rows.append((f"maxpool {st.pool1_kernel}x{st.pool1_kernel}"
+                     f"/s{st.pool1_stride}", (oh, oh, w0), 0))
+    for i, (indim, outdim, half) in enumerate(spec.block_layout()):
+        stride = 2 if half else 1
+        oh = (oh + 2 - 3) // stride + 1
+        p = (n_params((3, 3, indim, outdim), (outdim,), (outdim,),
+                      (3, 3, outdim, outdim), (outdim,), (outdim,)))
+        if indim != outdim:
+            p += n_params((1, 1, indim, outdim), (outdim,), (outdim,))
+        tag = f"block{i} {indim}->{outdim}" + ("/s2" if half else "")
+        if indim != outdim:
+            tag += " +shortcut"
+        rows.append((tag, (oh, oh, outdim), p))
+    kp = st.avgpool_kernel
+    oh_p = oh // kp
+    F = oh_p * oh_p * spec.widths[-1]
+    rows.append((f"avgpool {kp}x{kp} + flatten", (F,), 0))
+    rows.append(("classifier (clear)", (spec.num_classes,),
+                 n_params((F, spec.num_classes), (spec.num_classes,))))
+
+    if params is not None:
+        total = sum(int(np.prod(np.shape(leaf)))
+                    for leaf in jax.tree_util.tree_leaves(params))
+    else:
+        total = sum(r[2] for r in rows)
+    name_w = max(len(r[0]) for r in rows) + 2
+    lines = [f"{spec.name}: input {spec.in_channels}x{spec.img_size}^2, "
+             f"bit_width {spec.bit_width}, "
+             f"{'QAT' if spec.quantized else 'float'}"]
+    lines += [f"  {r[0]:<{name_w}} out={'x'.join(map(str, r[1])):<12} "
+              f"params={r[2]:,}" for r in rows]
+    lines.append(f"  total params: {total:,}"
+                 + (" (from param pytree)" if params is not None else ""))
+    return "\n".join(lines)

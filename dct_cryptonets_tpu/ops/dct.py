@@ -16,8 +16,9 @@ Reference behavior being matched (not ported):
 
 TPU-first design: instead of a Python loop over blocks, the whole batch is
 reshaped into ``(num_blocks, S, S)`` tiles and hit with two einsums -> a pair
-of batched matmuls that XLA fuses and tiles onto the MXU.  A fused Pallas
-variant for the full ingest pipeline lives in ``ops/pallas_dct.py``.
+of batched matmuls that XLA fuses and tiles onto the MXU.  (The framework's
+Pallas kernels live in ``fhe/pallas_kernels.py``; this codec stage is pure
+XLA — two einsums already saturate the MXU for these tile sizes.)
 """
 from functools import lru_cache
 

@@ -3,3 +3,9 @@ from .mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from .distributed import (  # noqa: F401
+    global_data_mesh,
+    host_chip_mesh,
+    initialize,
+    local_batch_to_global,
+)

@@ -30,7 +30,8 @@ import optax
 from .config import checkpoint_dir_for, parse_args
 from .data.codec import CodecConfig, dct_ingest, dct_ingest_train
 from .data import pipeline
-from .models import build_spec, calibrate_scales, forward, init_model
+from .models import (build_spec, calibrate_scales, forward, init_model,
+                     model_summary)
 from .parallel import data_mesh, replicate, shard_batch
 from .utils import AverageMeter, EarlyStopper, step_decay_lr, topk_accuracy
 
@@ -165,6 +166,8 @@ def main_impl(cfg):
         f"--batch_size {cfg.batch_size} must divide the {ndev}-device mesh"
 
     params, state = init_model(jax.random.key(0), spec)
+    # per-layer topology summary (reference train.py:335-347, torchinfo)
+    print(model_summary(spec, params))
     if spec.quantized:
         # runtime-stats activation-scale calibration on one batch
         imgs0, _ = trainset.gather(train_idx[:64])

@@ -53,6 +53,52 @@ void resize_bilinear(const float* src, int sh, int sw, int c,
   }
 }
 
+// cv2 INTER_LINEAR on 8U planes, bit-exact (see data/codec.py
+// resize_linear_u8_cv): 2^11 fixed-point weights quantized with
+// round-half-to-even, int32 horizontal pass, and the 8U-specialized
+// vertical combine (((b0*(r0>>4))>>16) + ((b1*(r1>>4))>>16) + 2) >> 2.
+void cv2_linear_plan(int src, int dst, std::vector<int>& i0,
+                     std::vector<int>& i1, std::vector<int>& a0,
+                     std::vector<int>& a1) {
+  i0.resize(dst);
+  i1.resize(dst);
+  a0.resize(dst);
+  a1.resize(dst);
+  const double scale = static_cast<double>(src) / dst;
+  for (int d = 0; d < dst; ++d) {
+    double fx = (d + 0.5) * scale - 0.5;
+    int sx = static_cast<int>(std::floor(fx));
+    fx -= sx;
+    if (sx < 0) { fx = 0.0; sx = 0; }
+    if (sx >= src - 1) { fx = 0.0; sx = src - 1; }
+    i0[d] = sx;
+    i1[d] = sx + 1 < src ? sx + 1 : src - 1;
+    a1[d] = static_cast<int>(std::nearbyint(fx * 2048.0));
+    a0[d] = static_cast<int>(std::nearbyint((1.0 - fx) * 2048.0));
+  }
+}
+
+void resize_linear_u8_cv(const float* src, int sh, int sw, float* dst,
+                         int dh, int dw) {
+  std::vector<int> j0, j1, c0, c1, i0, i1, b0, b1;
+  cv2_linear_plan(sw, dw, j0, j1, c0, c1);
+  cv2_linear_plan(sh, dh, i0, i1, b0, b1);
+  std::vector<int32_t> rows(static_cast<size_t>(sh) * dw);
+  for (int y = 0; y < sh; ++y)
+    for (int x = 0; x < dw; ++x) {
+      int p0 = static_cast<int>(src[y * sw + j0[x]]);
+      int p1 = static_cast<int>(src[y * sw + j1[x]]);
+      rows[y * dw + x] = (p0 * c0[x] + p1 * c1[x]) >> 4;
+    }
+  for (int y = 0; y < dh; ++y)
+    for (int x = 0; x < dw; ++x) {
+      int32_t t0 = (b0[y] * rows[i0[y] * dw + x]) >> 16;
+      int32_t t1 = (b1[y] * rows[i1[y] * dw + x]) >> 16;
+      int v = (t0 + t1 + 2) >> 2;
+      dst[y * dw + x] = static_cast<float>(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+}
+
 // orthonormal DCT basis T (fs x fs), row-major
 void dct_basis(int fs, double* T) {
   for (int i = 0; i < fs; ++i)
@@ -136,27 +182,24 @@ void ingest_one(const uint8_t* img, const Plan& p, float* out) {
         cr[i * half + j] = box(crf);
       }
   } else {
-    // manual path: cv2 YCrCb; reference binds Cr to the "cb" slot
-    // (cvfunctional.py:66) — mirrored here.
+    // manual path: cv2 YCrCb via its 14-bit fixed-point arithmetic
+    // (imgproc color_yuv; see data/codec.py rgb_to_ycrcb_cv); the
+    // reference binds Cr to the "cb" slot (cvfunctional.py:66) — mirrored.
     std::vector<float> crf(P * P), cbf(P * P);
+    auto descale = [](int v) { return (v + (1 << 13)) >> 14; };
     for (int i = 0; i < P * P; ++i) {
-      double r = img[i * 3], g = img[i * 3 + 1], b = img[i * 3 + 2];
-      double yy = 0.299 * r + 0.587 * g + 0.114 * b;
-      double crv = (r - yy) * 0.713 + 128.0;
-      double cbv = (b - yy) * 0.564 + 128.0;
-      y[i] = static_cast<float>(
-          std::fmin(255.0, std::fmax(0.0, std::nearbyint(yy))));
-      crf[i] = static_cast<float>(
-          std::fmin(255.0, std::fmax(0.0, std::nearbyint(crv))));
-      cbf[i] = static_cast<float>(
-          std::fmin(255.0, std::fmax(0.0, std::nearbyint(cbv))));
+      int r = img[i * 3], g = img[i * 3 + 1], b = img[i * 3 + 2];
+      int yy = descale(r * 4899 + g * 9617 + b * 1868);
+      int crv = descale((r - yy) * 11682) + 128;
+      int cbv = descale((b - yy) * 9241) + 128;
+      auto clip = [](int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); };
+      y[i] = static_cast<float>(clip(yy));
+      crf[i] = static_cast<float>(clip(crv));
+      cbf[i] = static_cast<float>(clip(cbv));
     }
-    resize_bilinear(crf.data(), P, P, 1, cb.data(), half, half);
-    resize_bilinear(cbf.data(), P, P, 1, cr.data(), half, half);
-    for (auto& v : cb) v = static_cast<float>(
-        std::fmin(255.0, std::fmax(0.0, std::nearbyint(v))));
-    for (auto& v : cr) v = static_cast<float>(
-        std::fmin(255.0, std::fmax(0.0, std::nearbyint(v))));
+    // chroma halving with cv2's exact fixed-point 8U INTER_LINEAR
+    resize_linear_u8_cv(crf.data(), P, P, cb.data(), half, half);
+    resize_linear_u8_cv(cbf.data(), P, P, cr.data(), half, half);
   }
 
   const int fs2 = p.fs * p.fs;

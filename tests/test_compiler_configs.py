@@ -25,13 +25,14 @@ def test_resnet20_cifar_dct_lowering():
     spec = build_spec("ResNet20qat", in_channels=24, img_size=16,
                       num_classes=10, bit_width=4)
     params, state, x = _prep(spec)
-    circ = lower(params, state, spec, rounding_threshold_bits=6)
+    circ = lower(params, state, spec, rounding_threshold_bits=6,
+                 residual_mode="requant")
     assert circ.max_bit_width() <= 16          # homomorphic_eval.py:301-306
     # every TLU/add must be materialized against actual torus encodings
     # (regression: shared-tensor budget inflation broke shortcut TLUs)
     assert circ.verify_encodings() == []
     circ_cal = lower(params, state, spec, rounding_threshold_bits=6,
-                     calib_data=x)
+                     calib_data=x, residual_mode="requant")
     assert circ_cal.verify_encodings() == []
     # stem TLU + 9 blocks (3 TLUs each + 1 extra on the two transition
     # blocks' conv shortcuts) + head pool TLU
@@ -42,6 +43,18 @@ def test_resnet20_cifar_dct_lowering():
     # TLU precision must fit the r=6 parameter preset
     max_r = max(op.spec.in_bits for op in tlus)
     assert params_for_precision(max_r).message_bits >= max_r
+
+    # fused (default) mode: quant_out/quant_sc TLU layers elided — only
+    # the true nonlinearities remain (stem, 2 relus per block, pool)
+    circ_f = lower(params, state, spec, rounding_threshold_bits=6,
+                   calib_data=x)
+    tlus_f = [op for op in circ_f.ops if isinstance(op, Tlu)]
+    assert len(tlus_f) == 1 + 9 * 2 + 1
+    assert circ_f.verify_encodings() == []
+    assert circ_f.max_bit_width() <= 16
+    assert circ_f.num_pbs == 196_672           # vs 307,264 requant
+    feats_f = simulate(circ_f, x)
+    assert feats_f.shape == (4, 64)
 
 
 @pytest.mark.slow
@@ -55,7 +68,7 @@ def test_resnet18_imagenet_dct_lowering():
                       num_classes=1000, bit_width=5)
     params, state, x = _prep(spec, B=2)
     circ = lower(params, state, spec, rounding_threshold_bits=7,
-                 calib_data=x)
+                 calib_data=x, residual_mode="requant")
     assert circ.max_bit_width() <= 16
     assert circ.verify_encodings() == []
     tlus = [op for op in circ.ops if isinstance(op, Tlu)]
@@ -66,6 +79,15 @@ def test_resnet18_imagenet_dct_lowering():
     feats = simulate(circ, x)
     assert feats.shape == (2, 512)
     assert circ.num_pbs > 500_000  # deeper net, many more bootstraps
+
+    # fused mode shrinks the circuit to the nonlinearities
+    circ_f = lower(params, state, spec, rounding_threshold_bits=7,
+                   calib_data=x)
+    tlus_f = [op for op in circ_f.ops if isinstance(op, Tlu)]
+    assert len(tlus_f) == 1 + 8 * 2 + 1
+    assert circ_f.max_bit_width() <= 16
+    assert circ_f.verify_encodings() == []
+    assert circ_f.num_pbs < circ.num_pbs
 
 
 def test_weights_are_narrow_range_int():

@@ -56,6 +56,30 @@ def test_clear_low_bits_matches_integer_arithmetic(aux_setup, shift):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("shift,keep", [(3, 1), (5, 2), (5, 4), (7, 3)])
+def test_partial_clearing_matches_integer_arithmetic(aux_setup, shift, keep):
+    """keep_low > 0 clears only bits [keep, shift): the low bits ride
+    through as a bounded offset (the audit's partial-clearing mode) and
+    each extracted bit's re-centered sign offset must still read the right
+    bit despite the uncleared junk below it."""
+    ck, cfg, dak = aux_setup
+    n_in = 11
+    rng = np.random.default_rng(10 * shift + keep)
+    v = rng.integers(0, 1 << n_in, 64, dtype=np.int64)
+    delta_log2 = 63 - n_in
+    with np.errstate(over="ignore"):
+        mu = v.astype(U64) << U64(delta_log2)
+    ct = encrypt_lwe(ck, mu, rng, key=ck.big_lwe_key,
+                     noise_log2=ck.params.glwe_noise_log2)
+    out = clear_low_bits(T.from_u64(ct), dak, cfg.aux, n_in, shift,
+                         cfg.back_base_log, cfg.back_levels, keep_low=keep)
+    phase = decrypt_lwe(ck, T.to_u64(out), key=ck.big_lwe_key)
+    got = np.round(phase.astype(np.float64) / 2.0 ** delta_log2).astype(
+        np.int64) % (1 << (n_in + 1))
+    want = (v - (v % (1 << shift)) + (v % (1 << keep))) % (1 << (n_in + 1))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_execute_matches_simulate_both_rounding_methods():
     """Tiny net, heavy rounding: exact and approximate modes both match the
     simulator at test noise (approximate only because noise << LSB here;

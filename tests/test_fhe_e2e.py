@@ -43,7 +43,7 @@ def tiny_model():
 def test_lower_structure(tiny_model):
     params, state = tiny_model
     circ = lower(params, state, TINY, n_bits=3, rounding_threshold_bits=3,
-                 calib_absmax=2.0)
+                 calib_absmax=2.0, residual_mode="requant")
     tlus = [op for op in circ.ops if isinstance(op, Tlu)]
     # stem TLU, relu1, quant_out, relu2, pool TLU (identity shortcut: no TLU)
     assert len(tlus) == 5
@@ -54,17 +54,57 @@ def test_lower_structure(tiny_model):
         assert op.table.shape[1] == 1 << op.spec.in_bits
 
 
+def test_lower_structure_fused(tiny_model):
+    """residual_mode='fused' (default): the quant_out requant TLU is elided
+    — the raw conv2 accumulator feeds the residual add through per-channel
+    multipliers and relu2's table absorbs scale + bias."""
+    from dct_cryptonets_tpu.fhe.circuit import AddScaledPC
+    params, state = tiny_model
+    circ = lower(params, state, TINY, n_bits=3, rounding_threshold_bits=3,
+                 calib_absmax=2.0)
+    tlus = [op for op in circ.ops if isinstance(op, Tlu)]
+    assert len(tlus) == 4                      # stem, relu1, relu2, pool
+    assert circ.num_pbs == 3 * 4 * 4 * 4 + 4   # one fewer spatial TLU layer
+    pc = [op for op in circ.ops if isinstance(op, AddScaledPC)]
+    assert len(pc) == 1
+    assert circ.verify_encodings() == []
+    assert circ.max_bit_width() <= 16
+
+
 def test_simulator_matches_qat_forward_exactly_without_rounding(tiny_model):
     """With rounding disabled (r >= max accumulator bits) the integer
     simulator must reproduce the fake-quant QAT forward EXACTLY — BN fold,
     TLU fusion, residual rescaling and all."""
+    params, state = tiny_model
+    circ = lower(params, state, TINY, rounding_threshold_bits=14,
+                 residual_mode="requant")
+    x = np.clip(np.random.default_rng(2).normal(0, 0.7, (16, 4, 4, 3)), -2, 2)
+    feats_sim = np.asarray(simulate(circ, jnp.asarray(x, jnp.float32)))
+    feats_qat, _, _ = forward(params, state, jnp.asarray(x, jnp.float32),
+                              TINY, train=False)
+    np.testing.assert_allclose(feats_sim, np.asarray(feats_qat), atol=1e-5)
+
+
+def test_fused_mode_tracks_qat_forward(tiny_model):
+    """The requant-elided graph is NOT the literal fake-quant forward (it
+    keeps full accumulator resolution into the residual add), but it must
+    stay within the elided requant's own rounding error of it."""
     params, state = tiny_model
     circ = lower(params, state, TINY, rounding_threshold_bits=14)
     x = np.clip(np.random.default_rng(2).normal(0, 0.7, (16, 4, 4, 3)), -2, 2)
     feats_sim = np.asarray(simulate(circ, jnp.asarray(x, jnp.float32)))
     feats_qat, _, _ = forward(params, state, jnp.asarray(x, jnp.float32),
                               TINY, train=False)
-    np.testing.assert_allclose(feats_sim, np.asarray(feats_qat), atol=1e-5)
+    out_op = circ.ops[-1]
+    # bounded by a few output quantization steps (the elided quant_out
+    # rounding propagated through relu2's table)
+    assert np.abs(feats_sim - np.asarray(feats_qat)).max() <= 4 * out_op.scale
+    a, b = feats_sim.ravel(), np.asarray(feats_qat).ravel()
+    # a random 3-bit toy net quantizes to a handful of levels, so +-1-step
+    # flips near rounding boundaries are common — correlation is a sanity
+    # floor here; end-to-end accuracy parity of fused vs requant is
+    # validated on the trained digits model (ROUND3.md experiment log)
+    assert np.corrcoef(a, b)[0, 1] > 0.6
 
 
 def test_simulator_rounding_degrades_gracefully(tiny_model):

@@ -34,7 +34,8 @@ def _prep(spec):
 def test_pooled_stem_simulator_matches_qat_exactly():
     """With rounding off, simulate == QAT forward through the maxpool."""
     params, state, x = _prep(POOLED)
-    circ = lower(params, state, POOLED, rounding_threshold_bits=14)
+    circ = lower(params, state, POOLED, rounding_threshold_bits=14,
+                 residual_mode="requant")
     feats_sim = np.asarray(simulate(circ, x))
     feats_qat, _, _ = forward(params, state, x, POOLED, train=False)
     np.testing.assert_allclose(feats_sim, np.asarray(feats_qat), atol=1e-5)

@@ -4,15 +4,20 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from dct_cryptonets_tpu.fhe.compiler import lower, unify_multipliers
-from dct_cryptonets_tpu.fhe.circuit import AddScaled, Tlu
+from dct_cryptonets_tpu.fhe.compiler import (lower, unify_multipliers,
+                                             unify_multipliers_pc)
+from dct_cryptonets_tpu.fhe.circuit import AddScaled, AddScaledPC, Tlu
 from dct_cryptonets_tpu.fhe.noise_audit import MAX_DROP, audit_circuit
 from dct_cryptonets_tpu.fhe.params import params_for_precision
 from dct_cryptonets_tpu.models import (build_spec, calibrate_scales, forward,
                                        init_model)
 
 
-def _flagship_circuit():
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _flagship_cached(residual_mode):
     spec = build_spec("ResNet20qat", in_channels=24, img_size=16,
                       num_classes=10, bit_width=4)
     params, state = init_model(jax.random.key(0), spec)
@@ -20,7 +25,13 @@ def _flagship_circuit():
     _, _, state = forward(params, state, x, spec, train=True)
     params = calibrate_scales(params, state, x, spec)
     return lower(params, state, spec, rounding_threshold_bits=6,
-                 calib_data=x), x
+                 calib_data=x, residual_mode=residual_mode), x
+
+
+def _flagship_circuit(residual_mode="fused"):
+    # the lowering (incl. its calibration fixpoint) costs ~20 s cold on
+    # this 2-vCPU host and many tests need the same circuit — cache it
+    return _flagship_cached(residual_mode)
 
 
 class TestUnifyMultipliers:
@@ -62,13 +73,58 @@ class TestUnifyMultipliers:
         assert ca * ca + cb * cb < 37 * 37 + 64 * 64
 
     def test_lowered_adds_use_small_multipliers(self):
-        circ, _ = _flagship_circuit()
+        circ, _ = _flagship_circuit("requant")
         adds = [op for op in circ.ops if isinstance(op, AddScaled)
                 and abs(op.ca) <= 64 and op.ca * op.cb > 1]
         assert adds, "flagship circuit should have residual adds"
         # minimal unification keeps the magnitude product well under the
         # naive ~64*rounded bound for at least most adds
         assert np.median([op.ca * op.cb for op in adds]) < 64 * 32
+
+    def test_fused_adds_respect_range_cap(self):
+        """Requant-elided adds: per-channel pairs keep every branch's
+        contribution within the 2^13 range cap (the <=16-bit contract)
+        with all encodings consistent."""
+        circ, _ = _flagship_circuit("fused")
+        pc_adds = [op for op in circ.ops if isinstance(op, AddScaledPC)]
+        assert len(pc_adds) == 9            # one per block
+        assert circ.max_bit_width() <= 16
+        assert circ.verify_encodings() == []
+        for op in pc_adds:
+            assert np.abs(op.ca).max() <= 1 << 13
+            assert np.abs(op.cb).max() <= 1 << 13
+
+    def test_unify_pc_absolute_error_bound(self):
+        """Per-channel unification honours the absolute-error adequacy:
+        |s_v*q - rb| * bound_b <= out_step/4 whenever representable."""
+        rng = np.random.default_rng(0)
+        C = 64
+        ka = rng.uniform(0.001, 0.02, C) * rng.choice([-1.0, 1.0], C)
+        kb = np.full(C, 0.1)
+        bnd_a = rng.integers(100, 900, C).astype(float)
+        bnd_b = np.full(C, 7.0)
+        step = 0.1
+        ca, cb, s_v = unify_multipliers_pc(ka, kb, bnd_a, bnd_b, step)
+        for c in range(C):
+            if ca[c] == 0 or cb[c] == 0:
+                continue
+            # a-branch is exact by construction
+            np.testing.assert_allclose(s_v[c] * abs(ca[c]), abs(ka[c]))
+            err_abs = abs(s_v[c] * abs(cb[c]) - abs(kb[c])) * bnd_b[c]
+            assert err_abs <= step / 4 + 1e-12
+            assert abs(ca[c]) * bnd_a[c] <= 1 << 13
+            assert abs(cb[c]) * bnd_b[c] <= 1 << 13
+
+    def test_unify_pc_degenerate_channels(self):
+        """Dead channels (k ~ 0) drop the branch; its bias still matters
+        to the caller, so the multiplier is exactly 0, not tiny."""
+        ka = np.asarray([1e-9, 0.5, 0.5])
+        kb = np.asarray([0.5, 1e-9, -0.5])
+        ca, cb, s_v = unify_multipliers_pc(ka, kb, [10.0, 10.0, 10.0],
+                                           [10.0, 10.0, 10.0], 0.5)
+        assert ca[0] == 0 and cb[0] != 0
+        assert cb[1] == 0 and ca[1] != 0
+        assert ca[2] > 0 and cb[2] < 0      # signs move into multipliers
 
 
 class TestNoiseAudit:
@@ -90,6 +146,25 @@ class TestNoiseAudit:
         tlus = [op for op in circ.ops if isinstance(op, Tlu)]
         assert len(res.reports) == len(tlus)
         assert res.summary().count("p_window") == len(tlus)
+
+    def test_partial_clearing_saves_extractions(self):
+        """The audit's keep_low must skip a meaningful share of extraction
+        bootstraps (the low dropped bits sit below the mod-switch noise
+        floor) while every decision stays within p_error."""
+        circ, _ = _flagship_circuit()
+        p = params_for_precision(6)
+        res = audit_circuit(circ, p, p_error=0.01, rounding_method="exact")
+        assert res.max_p_error <= 0.01
+        full = sum(r.sites * r.shift for r in res.reports)
+        cleared = sum(r.sites * r.cleared for r in res.reports)
+        assert cleared < 0.85 * full, (cleared, full)
+        for r in res.reports:
+            assert 0 <= r.keep_low <= min(r.shift, 4)
+        # a stricter contract can only keep fewer bits uncleared
+        strict = audit_circuit(circ, p, p_error=0.001,
+                               rounding_method="exact")
+        strict_cleared = sum(r.sites * r.cleared for r in strict.reports)
+        assert strict_cleared >= cleared
 
     def test_approximate_mode_has_no_extraction_term(self):
         circ, _ = _flagship_circuit()
