@@ -78,7 +78,8 @@ class FolderDataset:
         # re-crops randomly from this slightly-larger frame
         w, h = img.size
         scale = (1.15 * s) / min(w, h)
-        img = img.resize((max(s, round(w * scale)), max(s, round(h * scale))))
+        img = img.resize((max(s, round(w * scale)), max(s, round(h * scale))),
+                         Image.BILINEAR)
         w, h = img.size
         l, t = (w - s) // 2, (h - s) // 2
         return np.asarray(img.crop((l, t, l + s, t + s)), np.uint8)
@@ -176,7 +177,15 @@ class ManifestDataset:
         from PIL import Image
         img = Image.open(path).convert("RGB")
         if self.image_size is not None and img.size != (self.image_size,) * 2:
-            img = img.resize((self.image_size, self.image_size))
+            # the reference's SimpleDataset does no resize (dataset.py:19-31;
+            # sizing happens in the transform/codec) — this resize exists
+            # only to standardize the stacked batch shape ahead of the
+            # on-device cv2-exact Resize/CenterCrop in the codec, so use an
+            # explicit smooth filter rather than PIL's version-dependent
+            # default (aliasing here would leak through the bit-matched
+            # codec path)
+            img = img.resize((self.image_size, self.image_size),
+                             Image.BILINEAR)
         return np.asarray(img, np.uint8)
 
     def gather(self, idx):

@@ -75,8 +75,13 @@ class Csprng:
         only spans the key paths use), masked from raw 64-bit words so the
         distribution is exactly uniform."""
         span = int(high) - int(low)
-        assert span > 0 and (span & (span - 1)) == 0, \
-            f"Csprng.integers requires a power-of-two span, got {span}"
+        if span <= 0 or (span & (span - 1)) != 0:
+            # a hard error, not an assert: under ``python -O`` an assert is
+            # stripped and a non-power-of-two span would silently return
+            # BIASED values for key/mask material (fails open on a
+            # security invariant)
+            raise ValueError(
+                f"Csprng.integers requires a power-of-two span, got {span}")
         shape = self._shape(size)
         n = int(np.prod(shape)) if shape else 1
         v = (self._u64(n) & U64(span - 1)).reshape(shape)

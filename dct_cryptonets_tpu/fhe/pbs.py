@@ -571,6 +571,20 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
                   else "conv")
 
     if engine == "fused":
+        # The fused kernel's manual acc DMA needs the sample axis aligned:
+        # every block slice must be a tiling-8 multiple, and the block
+        # sweep must cover M exactly (Mosaic rejects partial manual DMAs).
+        # Pad odd batch sizes (e.g. a pbs_batch remainder chunk) with zero
+        # ciphertexts and slice the results back off.
+        bm = 256 if N <= 512 else 128                # cmux block_m choice
+        Mp = M + (-M) % (8 if M <= bm else bm)
+        if Mp != M:
+            zpad = ((0, Mp - M), (0, 0))
+            ct_a = jnp.pad(ct_a, zpad)
+            pad1 = ((0, Mp - M),)
+            ct_b = jnp.pad(ct_b, pad1)
+            acc = T.T64(jnp.pad(acc.hi, zpad + ((0, 0),)),
+                        jnp.pad(acc.lo, zpad + ((0, 0),)))
         # plane-major carry (k+1, M, N); one transpose back at the end
         acc = T.T64(jnp.transpose(acc.hi, (1, 0, 2)),
                     jnp.transpose(acc.lo, (1, 0, 2)))
@@ -585,10 +599,10 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
                                         cross)
             return new, None
 
-        a_cols = jnp.transpose(ct_a, (1, 0))         # (n, M)
+        a_cols = jnp.transpose(ct_a, (1, 0))         # (n, Mp)
         acc, _ = jax.lax.scan(step, acc, (a_cols, bsk_bytes))
-        return T.T64(jnp.transpose(acc.hi, (1, 0, 2)),
-                     jnp.transpose(acc.lo, (1, 0, 2)))
+        return T.T64(jnp.transpose(acc.hi, (1, 0, 2))[:M],
+                     jnp.transpose(acc.lo, (1, 0, 2))[:M])
     cmux = cmux_accumulate_pallas if engine == "s2d" else cmux_accumulate
     expand = (expand_bsk_kernel_s2d if engine == "s2d"
               else expand_bsk_kernel)

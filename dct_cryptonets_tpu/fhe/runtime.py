@@ -326,16 +326,17 @@ class CompiledModule:
             const = T.add(const, T.from_i32_shifted(
                 jnp.ones((M, 1), jnp.int32), off_log2))
         # partial clearing (audit's keep_low): the lowest `keep` dropped
-        # bits stay uncleared; subtract 2^(keep-1)*Delta so the residual
-        # junk is centered on the window center (at keep == shift this
-        # exactly cancels the round-half-up constant — the whole dropped
-        # range rides as a centered bounded offset, no aux bootstraps).
+        # bits stay uncleared and ride through as a bounded offset; a
+        # 2^(keep-1)*Delta centering constant re-centers that junk on the
+        # window center.  The centering is applied AFTER clear_low_bits
+        # (below, per chunk): subtracting it before clearing would borrow
+        # across the cleared bit field whenever the kept low bits are
+        # < 2^(keep-1), shifting the extracted field so the main PBS reads
+        # one window low — a deterministic misread for a 2^(keep-1)/2^shift
+        # fraction of accumulator values.
         keep = 0
         if exact and self.drop_policy == "audit" and self.audit is not None:
             keep = min(self.audit.keep_for(op.x), spec.shift)
-        if keep > 0:
-            const = T.sub(const, T.from_i32_shifted(
-                jnp.ones((M, 1), jnp.int32), 62 - n_in + keep))
         body = T.add(T.T64(flat.hi[:, -1:], flat.lo[:, -1:]), const)
         flat = T.T64(jnp.concatenate([flat.hi[:, :-1], body.hi], axis=1),
                      jnp.concatenate([flat.lo[:, :-1], body.lo], axis=1))
@@ -362,6 +363,18 @@ class CompiledModule:
                 self.stats["aux_pbs_executed"] = (
                     self.stats.get("aux_pbs_executed", 0)
                     + (spec.shift - keep) * (e - s))
+            if keep > 0:
+                # center the uncleared junk on the window center — after
+                # the clearing, so the subtraction cannot borrow into the
+                # (now cleared) extracted bit field.  At keep == shift no
+                # clearing ran and this cancels the round-half-up constant:
+                # the whole dropped range rides as a centered offset.
+                cc = T.from_i32_shifted(jnp.ones((e - s, 1), jnp.int32),
+                                        62 - n_in + keep)
+                cb = T.sub(T.T64(chunk.hi[:, -1:], chunk.lo[:, -1:]), cc)
+                chunk = T.T64(
+                    jnp.concatenate([chunk.hi[:, :-1], cb.hi], axis=1),
+                    jnp.concatenate([chunk.lo[:, :-1], cb.lo], axis=1))
             res = bootstrap(chunk, site_tables[s:e], self.device_keys,
                             self.params, out_delta, drop_limbs, cross)
             outs_hi.append(res.hi)
@@ -411,12 +424,22 @@ class CompiledModule:
             return np.asarray(simulate(self.circuit, jnp.asarray(x)))
         if fhe == "execute":
             assert self.client_keys is not None, "call keygen() first"
+            n = len(x)
+            if mesh is not None:
+                # pad a remainder batch up to a mesh-size multiple (repeat
+                # the last sample): shard_batch's NamedSharding device_put
+                # rejects non-divisible leading axes, which would crash the
+                # final partial batch of a multi-hour sweep
+                m = int(np.prod(mesh.devices.shape))
+                if n % m:
+                    x = np.concatenate(
+                        [x, np.repeat(x[-1:], m - n % m, axis=0)], axis=0)
             ct = self.encrypt(x, rng=enc_rng)
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
                 ct = T.T64(*shard_batch(mesh, list(ct)))
             out = self.run_encrypted(ct, drop_limbs)
-            return self.decrypt_feats(out)
+            return self.decrypt_feats(out)[:n]
         raise ValueError(f"unknown fhe mode {fhe!r}")
 
 

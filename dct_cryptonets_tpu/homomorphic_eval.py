@@ -258,11 +258,18 @@ def main_impl(cfg):
 
     resume = None
     if cfg.fhe_mode == "execute" and getattr(cfg, "sweep_state", None):
+        # the tag must cover EVERYTHING that changes the compiled circuit or
+        # the eval numerics — a re-run with any different value must start
+        # fresh rather than silently mix per-batch records from two configs
+        p = module.params
         tag = (f"{cfg.model}|{cfg.checkpoint_path}|{cfg.dataset}|"
                f"r{cfg.rounding_threshold_bits}|n{cfg.n_bits}|"
+               f"{getattr(cfg, 'rounding_method', 'exact')}|"
                f"{getattr(cfg, 'residual_mode', 'fused')}|"
                f"{getattr(cfg, 'drop_policy', 'none')}|b{cfg.test_batch_size}"
-               f"|s{cfg.test_subset}")
+               f"|s{cfg.test_subset}|pe{cfg.p_error}"
+               f"|m{getattr(cfg, 'range_margin', 1.0)}|d{cfg.drop_limbs}"
+               f"|P{p.lwe_dim}.{p.glwe_dim}.{p.poly_size}")
         resume = SweepState(cfg.sweep_state, tag)
         if resume.done:
             print(f"Resuming execute sweep: {len(resume.done)} batch(es) "

@@ -26,7 +26,7 @@ def test_csprng_statistics():
     assert 0.47 < bits.mean() < 0.53
     z = r.normal(0.0, 1.0, 20001)   # odd size exercises the pairing path
     assert abs(z.mean()) < 0.05 and 0.95 < z.std() < 1.05
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         r.integers(0, 3, 4)          # non-power-of-two span is refused
 
 

@@ -115,3 +115,93 @@ def test_execute_matches_simulate_both_rounding_methods():
         np.testing.assert_array_equal(feats_exe, feats_sim)
         if method == "exact":
             assert module.stats.get("aux_pbs_executed", 0) > 0
+
+
+def test_audit_partial_clearing_centering_order():
+    """Single-TLU circuit with an IDENTITY table (adjacent entries always
+    differ) over accumulator values covering every residue mod 2^shift —
+    the sharp version of the centering-order regression (ADVICE r3 high).
+    Subtracting the 2^(keep-1)*Delta centering constant BEFORE
+    clear_low_bits borrows across the cleared bit field for residues
+    < 2^(keep-1): the main PBS then reads one window low, deterministically.
+    On a relu-ish table such misreads can land on plateaus and hide; the
+    identity table turns every misread into an output mismatch."""
+    from dct_cryptonets_tpu.fhe.circuit import (Circuit, Output, QuantIn,
+                                                Tlu, TluSpec)
+    from dct_cryptonets_tpu.fhe.runtime import CompiledModule
+
+    r, shift = 4, 3
+    n_in = r + shift
+    table = (np.arange(1 << r, dtype=np.int32) - (1 << (r - 1)))[None]
+    circ = Circuit(
+        ops=[QuantIn(scale=1.0, bits=n_in, n=n_in, out="x0"),
+             Tlu("x0", TluSpec(in_bits=r, shift=shift, out_n=r), table, "y"),
+             Output("y", scale=1.0)],
+        input_shape=(1, 1, 1),
+        n_budget={"x0": n_in, "y": r},
+        meta={"shapes": {"x0": (1, 1, 1), "y": (1, 1, 1)}},
+    )
+    # acc in [-64, 59]: index stays in [0, 15] (no clipping divergence),
+    # all residues mod 2^shift covered many times
+    acc = np.arange(-64, 60, dtype=np.float32).reshape(-1, 1, 1, 1)
+    module = CompiledModule(circ, TEST_PARAMS, pbs_batch=512,
+                            rounding_method="exact", drop_policy="audit")
+    module.keygen(seed=7)
+    audit = module.run_audit()
+    for rep in audit.reports:
+        rep.drop_limbs = rep.cross = 0
+        rep.keep_low = 2          # < shift: the clear+center path runs
+    module.aux_drop_limbs = module.aux_cross = 0
+    module.aux_fwd_ks_drop = module.aux_back_ks_drop = 0
+    feats_sim = module.forward(acc, fhe="simulate")
+    feats_exe = module.forward(acc, fhe="execute")
+    np.testing.assert_array_equal(feats_exe, feats_sim)
+
+
+def test_execute_matches_simulate_audit_partial_clearing():
+    """drop_policy='audit' with keep_low > 0 and all limb drops forced to
+    zero must stay bit-exact vs the simulator.  Regression for the
+    centering-order bug: subtracting the 2^(keep-1)*Delta centering
+    constant BEFORE clear_low_bits borrows across the cleared bit field
+    whenever (v + 2^(shift-1)) mod 2^keep < 2^(keep-1), so the main PBS
+    deterministically read one window low on a 2^(keep-1)/2^shift fraction
+    of accumulator values (ADVICE r3 high)."""
+    import jax
+    from dct_cryptonets_tpu.models import init_model, calibrate_scales
+    from dct_cryptonets_tpu.models.resnet import ModelSpec, forward
+    from dct_cryptonets_tpu.models.topology import StemSpec
+    from dct_cryptonets_tpu.fhe.runtime import compile_qat_model
+
+    tiny = ModelSpec(
+        name="tinyqat", block_counts=(1,), widths=(4,), in_channels=3,
+        img_size=4, num_classes=4, bit_width=3, quantized=True,
+        stem_override=StemSpec(1, 1, 0, None, None, 4, relu1=True),
+    )
+    params, state = init_model(jax.random.key(0), tiny)
+    x = jax.random.normal(jax.random.key(1), (8, 4, 4, 3))
+    for _ in range(2):
+        _, _, state = forward(params, state, x, tiny, train=True)
+    params = calibrate_scales(params, state, x, tiny)
+
+    xq = np.clip(np.random.default_rng(3).normal(0, 0.7, (4, 4, 4, 3)),
+                 -2, 2).astype(np.float32)
+    module = compile_qat_model(
+        params, state, tiny, n_bits=3, rounding_threshold_bits=3,
+        calib_absmax=2.0, tfhe_params=TEST_PARAMS, pbs_batch=512,
+        drop_policy="audit")
+    module.keygen(seed=5)
+    # force the audited knobs to the bit-exact contract (no dropped limbs,
+    # noise << LSB at TEST_PARAMS) but with partial clearing ON everywhere
+    # it applies — the exact configuration the bug corrupted.
+    audit = module.run_audit()
+    forced = 0
+    for rep in audit.reports:
+        rep.drop_limbs = rep.cross = 0
+        rep.keep_low = min(2, rep.shift)
+        forced += rep.keep_low > 0
+    assert forced > 0, "test net must have at least one rounded TLU"
+    module.aux_drop_limbs = module.aux_cross = 0
+    module.aux_fwd_ks_drop = module.aux_back_ks_drop = 0
+    feats_sim = module.forward(xq, fhe="simulate")
+    feats_exe = module.forward(xq, fhe="execute")
+    np.testing.assert_array_equal(feats_exe, feats_sim)

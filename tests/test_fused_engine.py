@@ -52,3 +52,21 @@ def test_fused_engine_bit_exact_vs_conv(material, drop):
     got = P.bootstrap(T.from_u64(ct), tables, dsk, PAR, 60,
                       drop_limbs=drop, engine="fused")
     np.testing.assert_array_equal(T.to_u64(got), T.to_u64(ref))
+
+
+def test_fused_engine_unaligned_batch(material):
+    """Sample counts not aligned to the fused kernel's manual-DMA tiling
+    (multiples of 8 / block_m) must pad internally and still be bit-exact —
+    on real TPU hardware an M=13 batch previously failed Mosaic compilation
+    ('Slice shape along dimension 1 must be aligned to tiling (8)')."""
+    ck, dsk = material
+    rng = np.random.default_rng(77)
+    M, bits = 13, 3
+    msgs = rng.integers(0, 2 ** bits, M)
+    ct = K.encrypt_lwe(ck, msgs.astype(U64) << U64(64 - bits - 1), rng,
+                       key=ck.big_lwe_key, noise_log2=PAR.glwe_noise_log2)
+    tables = jnp.asarray(rng.integers(-4, 4, (M, 2 ** bits)), jnp.int32)
+    ref = P.bootstrap(T.from_u64(ct), tables, dsk, PAR, 60, engine="conv")
+    got = P.bootstrap(T.from_u64(ct), tables, dsk, PAR, 60, engine="fused")
+    assert got.hi.shape == ref.hi.shape
+    np.testing.assert_array_equal(T.to_u64(got), T.to_u64(ref))

@@ -114,8 +114,21 @@ def test_module_level_sharded_execute():
     # identical masks for both runs: the sharded-vs-unsharded contract is
     # about the SERVER computation, so fix the client encryption stream
     ref = module.forward(xq, fhe="execute", enc_rng=Csprng(7))
+    # reference for the remainder case below: the mesh path pads 5 -> 8 by
+    # repeating the last sample, so the unsharded reference runs the SAME
+    # padded batch (identical Csprng stream -> identical ciphertexts)
+    xr = xq[:5]
+    xr_pad = np.concatenate([xr, np.repeat(xr[-1:], 3, axis=0)], axis=0)
+    ref_r = module.forward(xr_pad, fhe="execute", enc_rng=Csprng(9))[:5]
 
     mesh = data_mesh(8)
     module.shard_over(mesh)
     got = module.forward(xq, fhe="execute", mesh=mesh, enc_rng=Csprng(7))
     np.testing.assert_array_equal(got, ref)
+
+    # remainder batch (size not divisible by the mesh): forward pads the
+    # batch internally and trims the result — previously shard_batch's
+    # NamedSharding device_put raised, crashing a sweep at its last batch
+    got_r = module.forward(xr, fhe="execute", mesh=mesh, enc_rng=Csprng(9))
+    assert got_r.shape == ref_r.shape
+    np.testing.assert_array_equal(got_r, ref_r)
