@@ -19,8 +19,10 @@ Two chroma conventions are matched to the reference:
   * ``filter_size != 8`` (manual path, cvfunctional.py:59-74): OpenCV YCrCb
     coefficients; NOTE the reference splits YCrCb as ``y, cb, cr`` so its
     "cb" is actually Cr — we reproduce that swap.
-  * ``filter_size == 8`` (JPEG path, cvfunctional.py:21-26): libjpeg BT.601
-    YCbCr, 2x2 box 4:2:0 downsample, integer-rounded quality-100 coefficients.
+  * ``filter_size == 8`` (JPEG path, cvfunctional.py:21-26): the full
+    libjpeg integer forward path — fixed-point color conversion with the
+    TJPF_BGR-on-RGB channel swap, biased h2v2 4:2:0 downsample, islow FDCT,
+    quality-100 quantization (ops/jpegdct.py; golden-pinned vs libjpeg).
 """
 from dataclasses import dataclass
 from functools import partial
@@ -30,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.dct import blockwise_dct2
+from ..ops.jpegdct import jpeg_q100_coefficients
 from .tables import normalization_stats, subset_indices
 
 
@@ -83,17 +86,6 @@ def rgb_to_ycrcb_cv(x: jax.Array) -> jax.Array:
     cb = descale((b - y) * 9241) + 128
     out = jnp.stack([y, cr, cb], axis=-1)
     return jnp.clip(out, 0, 255).astype(jnp.float32)
-
-
-def rgb_to_ycbcr_jpeg(x: jax.Array) -> jax.Array:
-    """libjpeg BT.601 RGB -> (Y, Cb, Cr), used by the filter_size==8 path."""
-    x = x.astype(jnp.float32)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
-    out = jnp.stack([y, cb, cr], axis=-1)
-    return jnp.clip(jnp.round(out), 0, 255)
 
 
 # ---------------------------------------------------------------------------
@@ -197,15 +189,21 @@ def center_crop(x: jax.Array, size: int) -> jax.Array:
     return x[..., top:top + size, left:left + size, :]
 
 
-def box_downsample_2x(x: jax.Array) -> jax.Array:
-    """2x2 box average (libjpeg h2v2 chroma downsample), rounded."""
-    *lead, h, w = x.shape
-    x = x.reshape(*lead, h // 2, 2, w // 2, 2)
-    return jnp.round(x.mean(axis=(-3, -1)))
-
-
 # ---------------------------------------------------------------------------
 # core: pixels -> normalized DCT tensor
+
+
+def _upscale_coeffs_i16(c: jax.Array, S: int) -> jax.Array:
+    """UpScaleDCT on int16 coefficient maps, cv2 semantics (the fs=8 path).
+
+    The reference resizes jpeg2dct's int16 arrays directly
+    (cvtransforms.py:56-64); cv2's 16S INTER_LINEAR path is float
+    accumulation + ``saturate_cast<short>`` (cvRound, half-to-even) — i.e.
+    float bilinear then round-half-even, unlike the 8U fixed-point pixel
+    path."""
+    if c.shape[-3] == S and c.shape[-2] == S:
+        return c.astype(jnp.float32)
+    return jnp.round(resize_bilinear(c.astype(jnp.float32), S, S))
 
 
 def _component_coeffs(plane: jax.Array, cfg: CodecConfig, rounded: bool) -> jax.Array:
@@ -227,11 +225,16 @@ def dct_from_pixels(cropped: jax.Array, cfg: CodecConfig) -> jax.Array:
     (reference datamgr.py:193-220) as one fused batched function.
     """
     if cfg.filter_size == 8:
-        ycc = rgb_to_ycbcr_jpeg(cropped)
-        y = ycc[..., 0]
-        cb = box_downsample_2x(ycc[..., 1])
-        cr = box_downsample_2x(ycc[..., 2])
-        rounded = True
+        # BIT-EXACT libjpeg q100 forward path (ops/jpegdct.py): fixed-point
+        # color conversion (with the reference's TJPF_BGR-on-RGB channel
+        # swap), biased h2v2 chroma downsample, integer islow FDCT, and
+        # round-half-away quantization by 8 — golden-pinned against the
+        # real libjpeg encoder (tests/test_codec_golden.py, fs=8).
+        cy, ccb, ccr = jpeg_q100_coefficients(cropped)
+        S = cfg.image_size_dct
+        coeff_y = _upscale_coeffs_i16(cy, S)
+        coeff_cb = _upscale_coeffs_i16(ccb, S)
+        coeff_cr = _upscale_coeffs_i16(ccr, S)
     else:
         ycc = rgb_to_ycrcb_cv(cropped)
         y = ycc[..., 0]
@@ -242,11 +245,10 @@ def dct_from_pixels(cropped: jax.Array, cfg: CodecConfig) -> jax.Array:
         hw = cropped.shape[-2] // 2
         cb = resize_linear_u8_cv(ycc[..., 1], hh, hw)
         cr = resize_linear_u8_cv(ycc[..., 2], hh, hw)
-        rounded = False
 
-    coeff_y = _component_coeffs(y, cfg, rounded)
-    coeff_cb = _component_coeffs(cb, cfg, rounded)
-    coeff_cr = _component_coeffs(cr, cfg, rounded)
+        coeff_y = _component_coeffs(y, cfg, False)
+        coeff_cb = _component_coeffs(cb, cfg, False)
+        coeff_cr = _component_coeffs(cr, cfg, False)
 
     y_idx, cb_idx, cr_idx = cfg.subset()
     parts = [

@@ -35,6 +35,11 @@ NETWORK_PERTURBATIONS: dict[str, StemSpec] = {
     "48_24_16":  _s(1, 1, 0, None, None, 7),
     "48_48_8":   _s(1, 1, 0, None, None, 3),
     "48_48_16":  _s(1, 1, 0, None, None, 7),
+    # NOTE: the reference README's CIFAR ResNet-18 DCT row is "(24, 16, 16)"
+    # (README.md:88) but all_network_perturbations has no '64_24_16' entry,
+    # and ResNet-18's three stride-2 stages reduce 16^2 to 2^2, which the
+    # avgpool_kernel=3 of the '64_48_16' entry cannot pool — that published
+    # row is not buildable/runnable from the reference code as shipped.
     "64_48_16":  _s(1, 1, 0, None, None, 3),
     # RGB-based ResNet18
     "64_6_32":   _s(1, 1, 0, None, None, 3, relu1=False),

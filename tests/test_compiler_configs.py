@@ -58,6 +58,38 @@ def test_resnet20_cifar_dct_lowering():
 
 
 @pytest.mark.slow
+def test_resnet18_fs8_end_to_end_simulate():
+    """ResNet-18 through the REAL fs=8 JPEG codec, end-to-end: fixture
+    images -> bit-exact libjpeg-path ingest ('64_24_56' DCT config) ->
+    QAT lowering -> integer simulate.
+
+    (The reference README's CIFAR ResNet-18 DCT row "(24, 16, 16)"
+    (README.md:88) is not buildable from the shipped reference code — no
+    '64_24_16' topology entry, and 16^2 input shrinks below the avgpool
+    kernel — so the runnable 24-channel 56^2 ResNet-18 config stands in;
+    see models/topology.py.)"""
+    import os
+    from dct_cryptonets_tpu.data.codec import CodecConfig, dct_ingest
+    z = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "codec_fs8.npz"))
+    cfg = CodecConfig(channels=24, filter_size=8, image_size_dct=56)
+    x = dct_ingest(jnp.asarray(z["images"][:2]), cfg)
+    assert x.shape == (2, 56, 56, 24)
+    spec = build_spec("ResNet18qat", in_channels=24, img_size=56,
+                      num_classes=10, bit_width=4)
+    params, state = init_model(jax.random.key(0), spec)
+    _, _, state = forward(params, state, x, spec, train=True)
+    params = calibrate_scales(params, state, x, spec)
+    circ = lower(params, state, spec, rounding_threshold_bits=6,
+                 calib_data=np.asarray(x))
+    assert circ.max_bit_width() <= 16          # homomorphic_eval.py:301-306
+    assert circ.verify_encodings() == []
+    feats = simulate(circ, x)
+    assert feats.shape == (2, 512)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+@pytest.mark.slow
 def test_resnet18_imagenet_dct_lowering():
     """ImageNet config: ResNet-18 DCT 64x56^2, r=7 (reference README.md:92).
 
