@@ -257,8 +257,18 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         elif isinstance(op, Output):
             pass
 
-    # ---- choose knobs: start everyone at the most aggressive ladder rung
-    # (fewest matmuls), then repair the worst decision one rung at a time.
+    # ---- choose knobs + partial-clearing depth JOINTLY, cost-aware.
+    #
+    # The old two-phase scheme (maximize limb drops until the worst
+    # decision sits at p_error, THEN try keep_low with the leftover slack)
+    # systematically starved keep_low: the last drop rung saves ~10% of a
+    # main PBS while one keep_low step saves a whole extraction bootstrap
+    # per site (~1.4 main-dot units) — the budget was spent on the cheaper
+    # lever.  Instead, start from the SAFEST configuration and greedily
+    # take the single move (drop one ladder rung somewhere, deepen one
+    # keep_low, lower the aux knob) with the best cost saving that keeps
+    # every decision within p_error — the same role Concrete's optimizer
+    # plays when it picks per-op parameters under a global p_error.
     LAST = len(KNOB_LADDER) - 1
     ki: dict[str, int] = {t.x: 0 for t in tlus}     # index into KNOB_LADDER
     ku: dict[str, int] = {t.x: 0 for t in tlus}     # keep_low per TLU
@@ -277,10 +287,18 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
                      for s, a2 in decision_sources[t.x].items())
         var_in += cleared * bit_var(KNOB_LADDER[aux_ki])
         margin_w = 2.0 ** (62 - t.spec.in_bits)
-        # partial clearing: the uncleared low u bits are a centered bounded
-        # offset, uniform over a width-2^u*Delta window -> var w^2/12
-        var_unif = (2.0 ** (2 * (63 - n_in + u))) / 12.0 if u > 0 else 0.0
-        p_w = _erfc_z(margin_w, var_in + var_unif + var_fixed)
+        # partial clearing: the uncleared low u bits ride as a centered
+        # BOUNDED offset, |junk| <= 2^(u-1)*Delta after the runtime's
+        # centering constant.  A bounded deterministic offset is priced by
+        # SHRINKING the decision margin by its worst case — strictly sound
+        # for any junk distribution and far tighter than folding a
+        # uniform's variance into the Gaussian tail (which overstates the
+        # slip probability grossly as u approaches shift and kept the
+        # audit from choosing deep keep_low).
+        junk_bound = 2.0 ** (62 - n_in + u) if u > 0 else 0.0
+        p_w = _erfc_z(margin_w - junk_bound, var_in + var_fixed)
+        if margin_w <= junk_bound:
+            p_w = 1.0
         p_x = 0.0
         if rounding_method == "exact" and cleared > 0:
             # top extraction bit (lo = shift-1): guard margin is the
@@ -300,68 +318,64 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
                 p_x += _erfc_z(m_aux, var_aux_sign)
         return p_w, p_x
 
-    stuck: set[str] = set()   # TLUs infeasible even with everything lowered
+    # start SAFEST: no drops anywhere, full clearing, safest aux knob
+    for t in tlus:
+        ki[t.x] = LAST
+    aux_ki = LAST
+    KEEP_MAX = 6      # beyond this the per-bit aux sign margin 2^(62-u)
+    #                   approaches the aux KS+MS noise floor
 
-    def worst() -> tuple[float, Tlu | None]:
-        wp, wt = 0.0, None
-        for t in tlus:
-            if t.x in stuck:
-                continue
-            p_w, p_x = decision_p(t)
-            if p_w + p_x > wp:
-                wp, wt = p_w + p_x, t
-        return wp, wt
+    stuck: set[str] = set()   # TLUs infeasible even with everything safest
+    for t in tlus:
+        p_w, p_x = decision_p(t)
+        if p_w + p_x > p_error:
+            # cannot be met by any knob (floor = var_fixed + baseline
+            # noise) — park it; the caller sees it via max_p_error
+            stuck.add(t.x)
 
-    # aux knob: most aggressive value whose per-bit injection keeps the
-    # worst decision within budget (evaluated jointly with main knobs below)
-    aux_ki = 0 if rounding_method == "exact" else LAST
+    # -- cost model (units: one main external-product byte-pair matmul)
+    def _pair_count(nbytes: int, drop: int, cross: int) -> int:
+        n = 0
+        for u in range(nbytes):
+            for vi in range(8 - drop):
+                if u + vi + drop >= 8 or u + vi < cross:
+                    continue
+                n += 1
+        return n
 
-    for _ in range((len(tlus) + 1) * (LAST + 1)):
-        wp, wt = worst()
-        if wp <= p_error or wt is None:
-            break
-        # lower the knob contributing most variance to the worst decision
-        contrib_aux = (wt.spec.shift * bit_var(KNOB_LADDER[aux_ki])
-                       if aux_ki < LAST else 0.0)
-        cands = [(s, a2 * _knob_var(nm, KNOB_LADDER[ki[s]]))
-                 for s, a2 in decision_sources[wt.x].items()
-                 if s != "enc" and ki[s] < LAST]
-        best_src = max(cands, key=lambda kv: kv[1], default=None)
-        if best_src and best_src[1] >= contrib_aux:
-            ki[best_src[0]] += 1
-        elif aux_ki < LAST and rounding_method == "exact":
-            aux_ki += 1
-        elif best_src:
-            ki[best_src[0]] += 1
-        else:
-            # this decision cannot be repaired by any knob (its floor is
-            # var_fixed + baseline noise) — park it and keep repairing the
-            # others; the caller sees the violation via max_p_error
-            stuck.add(wt.x)
-
-    # ---- partial-clearing depth: with knobs fixed, each TLU's keep_low
-    # affects only its own decision (uniform offset + saved bit
-    # injections + reduced sign margins are all local), so maximize it
-    # per TLU independently against the remaining p_error slack.
-    KEEP_MAX = 4
+    dby_main = max(1, (params.pbs_base_log + 7) // 8)
+    # one extraction bit costs ~0.143 of a (2,x1) 10-dot main PBS on-chip
+    # (PERFORMANCE.md measured rates: 443 main PBS/s vs 3106 extractions/s)
+    _AUX_REF_COST = 0.143 * _pair_count(dby_main, 2, 1)
     if rounding_method == "exact":
-        for t in tlus:
-            best_u = 0
-            for u in range(1, min(t.spec.shift, KEEP_MAX) + 1):
-                ku[t.x] = u
-                p_w, p_x = decision_p(t)
-                if p_w + p_x <= p_error:
-                    best_u = u
-                else:
-                    break
-            ku[t.x] = best_u
+        dby_aux = max(1, (exact_cfg.aux.pbs_base_log + 7) // 8)
 
-    # ---- knob restore: phase 1 chose knobs under full-depth extraction
-    # injections; with keep_low shrinking them (and its uniform term now
-    # priced in), some knobs may climb back up the ladder.  Shared knobs
-    # (aux, per-source main) must re-check every non-stuck decision.
-    def all_ok() -> bool:
+    def bit_cost(aux_knob) -> float:
+        if rounding_method != "exact":
+            return 0.0
+        return (_AUX_REF_COST * _pair_count(dby_aux, *aux_knob)
+                / _pair_count(dby_aux, 3, 1))
+
+    sites_of = {t.x: float(np.prod(shapes[t.x])) for t in tlus}
+
+    def total_cost() -> float:
+        bc = bit_cost(KNOB_LADDER[aux_ki])
+        c = 0.0
         for t in tlus:
+            c += sites_of[t.x] * (
+                _pair_count(dby_main, *KNOB_LADDER[ki[t.x]])
+                + max(t.spec.shift - ku[t.x], 0) * bc)
+        return c
+
+    # consumers[name] = TLUs whose window decision sees name's PBS noise
+    consumers: dict[str, list] = {t.x: [] for t in tlus}
+    for t in tlus:
+        for s in decision_sources[t.x]:
+            if s in consumers:
+                consumers[s].append(t)
+
+    def moved_ok(affected) -> bool:
+        for t in affected:
             if t.x in stuck:
                 continue
             p_w, p_x = decision_p(t)
@@ -369,18 +383,76 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
                 return False
         return True
 
-    if rounding_method == "exact":
-        while aux_ki > 0:
-            aux_ki -= 1
-            if not all_ok():
-                aux_ki += 1
-                break
-    for name in list(ki):
-        while ki[name] > 0:
-            ki[name] -= 1
-            if not all_ok():
+    # -- greedy descent: take the feasible single move with the largest
+    # cost saving until none remains
+    for _ in range(len(tlus) * (LAST + KEEP_MAX + 1) + LAST + 4):
+        base = total_cost()
+        best = None                       # (saving, kind, name)
+        for t in tlus:
+            name = t.x
+            if name in stuck:
+                # infeasible even at the safest config: hold it there (the
+                # report surfaces the violation); moved_ok ignores stuck
+                # decisions, so moves here would otherwise run unchecked
+                continue
+            if ki[name] > 0:
+                ki[name] -= 1
+                if moved_ok(consumers[name] + [t]):
+                    sav = base - total_cost()
+                    if best is None or sav > best[0]:
+                        best = (sav, "ki", name)
                 ki[name] += 1
-                break
+            u = ku[name]
+            if (rounding_method == "exact"
+                    and u < min(t.spec.shift, KEEP_MAX)):
+                ku[name] = u + 1
+                if moved_ok([t]):
+                    sav = base - total_cost()
+                    if best is None or sav > best[0]:
+                        best = (sav, "ku", (name, 0))
+                ku[name] = u
+                # paired move: deepen keep_low while backing off the drop
+                # knob of one of this decision's SOURCE TLUs (whose PBS
+                # noise the window decision actually sees) — single ki
+                # moves saving 1 dot each would otherwise greedily consume
+                # the margin a later (larger) ku saving needs, a classic
+                # greedy trap
+                for src in decision_sources[name]:
+                    if src == "enc" or src not in ki:
+                        continue
+                    for r in (1, 2):
+                        if ki[src] + r > LAST:
+                            break
+                        ku[name] = u + 1
+                        ki[src] += r
+                        if moved_ok(consumers[src] + [t]):
+                            sav = base - total_cost()
+                            if best is None or sav > best[0]:
+                                best = (sav, "ku", (name, src, r))
+                        ku[name] = u
+                        ki[src] -= r
+        if rounding_method == "exact" and aux_ki > 0:
+            aux_ki -= 1
+            if moved_ok(tlus):
+                sav = base - total_cost()
+                if best is None or sav > best[0]:
+                    best = (sav, "aux", None)
+            aux_ki += 1
+        if best is None or best[0] <= 0:
+            break
+        _, kind, name = best
+        if kind == "ki":
+            ki[name] -= 1
+        elif kind == "ku":
+            if len(name) == 2:
+                name, r = name
+                ku[name] += 1
+            else:
+                name, src, r = name
+                ku[name] += 1
+                ki[src] += r
+        else:
+            aux_ki -= 1
 
     aux_drop, aux_cross = (KNOB_LADDER[aux_ki]
                            if rounding_method == "exact" else (0, 0))

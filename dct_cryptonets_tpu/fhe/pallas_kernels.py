@@ -322,21 +322,28 @@ def _bigd_kernel(dbl_ref, out_ref, *, n_poly: int):
         strip[g, tt, x] = dbl[g, (x - tt + N + 128) mod 2N]
 
     via a global pre-roll + 7 row-index-masked rolls (row tt ends up rolled
-    by +tt).  Replaces the XLA broadcast/reshape build, which costs ~2.5 ms
-    per step through this chip's slow fusion chains."""
+    by +tt).  Mosaic rolls need 32-bit data, so FOUR byte rows are PACKED
+    into the four bytes of one i32 lane, rolled together (the roll permutes
+    whole i32 elements — lanes never mix), and unpacked on store: ~4x less
+    VPU roll traffic than rolling each upcast row separately, which was
+    ~25% of the extraction-lattice CMUX step time."""
     N = n_poly
     G = dbl_ref.shape[0]
+    assert G % 4 == 0, "combo block must be a multiple of 4 (caller pads)"
     rowid = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    for g in range(G):
-        # Mosaic rolls need 32-bit data: upcast the byte row, downcast on
-        # store (per-g loop keeps the i32 working set at ~2 MB)
-        row = dbl_ref[g, :].reshape(1, 2 * N).astype(jnp.int32)
-        z = jnp.broadcast_to(row, (128, 2 * N))
+    for g4 in range(G // 4):
+        rows = dbl_ref[4 * g4:4 * g4 + 4, :].astype(jnp.int32) & 255
+        packed = (rows[0] | (rows[1] << 8) | (rows[2] << 16)
+                  | (rows[3] << 24)).reshape(1, 2 * N)
+        z = jnp.broadcast_to(packed, (128, 2 * N))
         z = pltpu.roll(z, N - 128, axis=1)  # z[y] = dbl[(y + N + 128) % 2N]
         for b in range(7):
             rolled = pltpu.roll(z, 1 << b, axis=1)
             z = jnp.where(((rowid >> b) & 1) == 1, rolled, z)
-        out_ref[g] = z[:, :2 * N - 128].astype(jnp.int8)
+        z = z[:, :2 * N - 128]
+        for q in range(4):
+            v = (z >> (8 * q)) & 255
+            out_ref[4 * g4 + q] = (v - ((v >> 7) << 8)).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -350,45 +357,49 @@ def build_bigd_strips(dbl, interpret: bool | None = None):
     N = twoN // 2
     G = 8                                   # combos per grid cell
     flat = dbl.reshape(J * C, twoN)
+    rows = J * C
+    pad = (-rows) % G
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_bigd_kernel, n_poly=N),
-        grid=(pl.cdiv(J * C, G),),
+        grid=(pl.cdiv(rows + pad, G),),
         in_specs=[pl.BlockSpec((G, twoN), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((G, 128, twoN - 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((J * C, 128, twoN - 128), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((rows + pad, 128, twoN - 128),
+                                       jnp.int8),
         interpret=interpret,
     )(flat)
-    return out.reshape(J, C, 128, twoN - 128)
+    return out[:rows].reshape(J, C, 128, twoN - 128)
 
 
 def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
                       ohi_ref, olo_ref, bucket_ref, sems, *,
                       n_poly: int, rows: int, L: int, drop: int,
-                      dbytes: int, block_m: int, cross: int = 0):
-    """One (m-block, j_out, combo) cell of the fused external product.
+                      dbytes: int, block_m: int, cross: int = 0,
+                      gc: int = 1):
+    """One (m-block, j_out, combo-group) cell of the fused external product.
 
     combo = vi * rows + r walks the (kept key-byte, GGSW row) pairs for one
-    output polynomial, key-byte major.  Per cell: contract each digit-byte
-    plane of row r against the combo's negacyclic Toeplitz as N/128 K=128
-    MXU matmuls whose RHS are STATIC SLICES of the 128-row BigD strip —
-    every (N, N) Toeplitz tile is a slice of the strip by construction
-    (pbs.build_bigd), so nothing is materialized.  (The previous variant
-    copied the full (N, N) matrix into scratch first: amortized at
-    N=2048, but ~half the cell time at the small extraction lattices,
-    which is exactly where PERFORMANCE.md measured the 60-75% utilization
-    gap.)  Byte-scale buckets use a 2-slot sliding window: contributions
-    of sweep position vi land only in buckets {vi, vi+1}, so bucket vi-1
-    is complete when vi starts and is flushed into the 64-bit accumulator
+    output polynomial, key-LIMB major; a cell covers ``gc`` consecutive
+    combos (gc | rows, so one cell shares a single vi/bucket).  Per combo:
+    contract each digit-byte plane of row r against the combo's negacyclic
+    Toeplitz as N/128 K=128 MXU matmuls whose RHS are STATIC SLICES of the
+    128-row BigD strip — every (N, N) Toeplitz tile is a slice of the
+    strip by construction (pbs.build_bigd), so nothing is materialized.
+    Byte-scale buckets use a 2-slot sliding window: contributions of sweep
+    position vi land only in buckets {vi, vi+1}, so bucket vi-1 is
+    complete when vi starts and is flushed into the 64-bit accumulator
     (dynamic double-word shift).  The acc blocks live in the *output*
     refs, seeded by DMA from the HBM-resident inputs at the first cell.
     """
     N = n_poly
-    c = pl.program_id(2)
-    vi = c // rows
-    r = c % rows
-    m = pl.program_id(0)
+    c = pl.program_id(2)                 # cell = group of gc combos
+    base = c * gc                        # first combo; combos are
+    vi = base // rows                    # key-limb-major so one cell's
+    m = pl.program_id(0)                 # group shares a single vi/bucket
     j = pl.program_id(1)
     nbuckets = 8 - drop
 
@@ -415,7 +426,7 @@ def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
         olo_ref[0] = lo
         bucket_ref[pl.ds(slot, 1)] = jnp.zeros((1,) + b.shape, jnp.int32)
 
-    @pl.when((r == 0) & (vi > 0))
+    @pl.when((base % rows == 0) & (vi > 0))
     def _():
         flush((vi - 1) % 2, vi - 1)                 # bucket vi-1 complete
 
@@ -426,59 +437,72 @@ def _fused_ext_kernel(dB0_ref, dB1_ref, big_ref, ahi_ref, alo_ref,
         # scale >= 8 wraps out of q; si < cross is the audit's cross skip
         @pl.when((si < nbuckets) & (si >= cross))
         def _(dref=dref, si=si):
-            # d (TM, N) x Toeplitz (N, N) as N/128 native-depth matmuls
-            # against static strip slices: Toeplitz rows [t0*128, ..) are
-            # strip[:, N - 128*(t0+1) : 2N - 128*(t0+1)]
-            d = jax.lax.dot(dref[0][:, 0:128],
-                            big_ref[0, 0, :, N - 128: 2 * N - 128],
-                            preferred_element_type=jnp.int32)
-            for t0 in range(1, N // 128):
-                d += jax.lax.dot(
-                    dref[0][:, t0 * 128:(t0 + 1) * 128],
-                    big_ref[0, 0, :, N - 128 * (t0 + 1):
-                            2 * N - 128 * (t0 + 1)],
-                    preferred_element_type=jnp.int32)
+            # per combo g: d (TM, N) x Toeplitz (N, N) as N/128
+            # native-depth matmuls against static strip slices: Toeplitz
+            # rows [t0*128, ..) are strip[:, N-128*(t0+1) : 2N-128*(t0+1)]
+            d = None
+            for g in range(gc):
+                for t0 in range(N // 128):
+                    p = jax.lax.dot(
+                        dref[g][:, t0 * 128:(t0 + 1) * 128],
+                        big_ref[0, g, :, N - 128 * (t0 + 1):
+                                2 * N - 128 * (t0 + 1)],
+                        preferred_element_type=jnp.int32)
+                    d = p if d is None else d + p
             slot = si % 2
             bucket_ref[pl.ds(slot, 1)] = bucket_ref[pl.ds(slot, 1)] + d[None]
 
-    @pl.when(c == L * rows - 1)
+    @pl.when(c == L * rows // gc - 1)
     def _():
         flush((nbuckets - 1) % 2, nbuckets - 1)     # the last bucket
 
 
 @functools.partial(jax.jit, static_argnames=("drop", "cross", "block_m",
-                                             "interpret"))
+                                             "combos_per_cell", "interpret"))
 def fused_external(dB0, dB1, bigd, acc_hi, acc_lo, drop: int, cross: int = 0,
-                   block_m: int = 128, interpret: bool | None = None):
+                   block_m: int = 128, combos_per_cell: int | None = None,
+                   interpret: bool | None = None):
     """acc + external product, fully VMEM-resident (the CMUX back half).
 
     dB0/dB1: (rows, M, N) int8 digit-byte planes
              (:func:`rotate_decompose` with ``plane_major=True``)
-    bigd:    (k+1, rows*L, 128, 2N-128) int8 Toeplitz strips
-             (``pbs.build_bigd``); L = kept key-byte limbs
+    bigd:    (k+1, L*rows, 128, 2N-128) int8 Toeplitz strips, combo index
+             vi*rows + r (``pbs.build_bigd``); L = kept key-byte limbs
     acc:     (J, M, N) uint32 pair (plane-major).  Returns updated (hi, lo).
 
-    Grid (M/TM, j_out, rows*L); the acc blocks stay resident across the
-    combo sweep (constant index map), buckets accumulate in scratch, and
-    each cell streams one 128x(2N-128) strip — Pallas double-buffers it.
+    Grid (M/TM, j_out, L*rows/gc); ``combos_per_cell`` (gc) groups
+    consecutive same-vi combos into one cell (gc must divide rows) —
+    fewer cells amortize grid dispatch and bucket updates.  The acc
+    blocks stay resident across the combo sweep (constant index map),
+    buckets accumulate in scratch, and each cell streams gc
+    128x(2N-128) strips — Pallas double-buffers them.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     J, M, N = acc_hi.shape
     rows = dB0.shape[0]
-    C = bigd.shape[1]                     # rows * L
+    C = bigd.shape[1]                     # L * rows
     L = C // rows
     assert L == 8 - drop, (L, drop)
     block_m = min(block_m, M)
-    grid = (pl.cdiv(M, block_m), J, C)
+    gc = combos_per_cell
+    if gc is None:
+        # measured on-chip: grouping 2 same-vi combos per cell pays on the
+        # small extraction lattices (tiny per-combo matmuls); the main
+        # lattice is VMEM-bound at its block size and stays ungrouped
+        gc = 2 if (N <= 512 and rows % 2 == 0) else 1
+    while rows % gc:
+        gc -= 1
+    grid = (pl.cdiv(M, block_m), J, C // gc)
     kernel = functools.partial(_fused_ext_kernel, n_poly=N, rows=rows, L=L,
                                drop=drop, dbytes=2, block_m=block_m,
-                               cross=cross)
-    spec_db = pl.BlockSpec((1, block_m, N), lambda m, j, c: (c % rows, m, 0),
+                               cross=cross, gc=gc)
+    RB = rows // gc
+    spec_db = pl.BlockSpec((gc, block_m, N), lambda m, j, c: (c % RB, m, 0),
                            memory_space=pltpu.VMEM)
     spec_big = pl.BlockSpec(
-        (1, 1, 128, 2 * N - 128),
-        lambda m, j, c: (j, (c % rows) * L + c // rows, 0, 0),
+        (1, gc, 128, 2 * N - 128),
+        lambda m, j, c: (j, c, 0, 0),
         memory_space=pltpu.VMEM)
     # acc inputs stay in HBM; the first cell DMAs them into the out blocks
     spec_any = pl.BlockSpec(memory_space=pl.ANY)

@@ -384,14 +384,17 @@ def build_bigd(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
     slices of ONE (128, 2N-128) strip per (row, j_out, key-limb), because
     negacyclic Toeplitz blocks repeat along diagonals:
 
-        strip[j, r*L+vi, tt, x] = b~[r, j, (x - tt + N + 128) mod 2N, drop+vi]
+        strip[j, vi*rows+r, tt, x] = b~[r, j, (x - tt + N + 128) mod 2N, drop+vi]
 
     so the contraction tile for digit block t0 and output window [0, N) is
     the static slice ``strip[..., N - 128*(t0+1) : 2N - 128*(t0+1)]``.
     Built with the tile/reshape trick (broadcast + reshape, no gathers).
+    Combos are KEY-LIMB-major (vi*rows + r): the kernel walks them in that
+    order, so a cell's group of consecutive combos shares one vi (one
+    bucket) and is a contiguous block slice.
 
     bsk_bytes_i: (rows, k+1, 2N, 8) int8 balanced bytes of [b, -b].
-    Returns (k+1, rows*L, 128, 2N-128) int8 with L = 8 - drop_limbs.
+    Returns (k+1, L*rows, 128, 2N-128) int8 with L = 8 - drop_limbs.
     """
     dbl = _bigd_rows(bsk_bytes_i, k, levels, N, drop_limbs)
     # z[y] = dbl[(y + N + 128) mod 2N]; the trick below yields
@@ -407,13 +410,13 @@ def build_bigd(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
 
 def _bigd_rows(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
                drop_limbs: int) -> jax.Array:
-    """(rows, k+1, 2N, 8) GGSW byte limbs -> (k+1, rows*L, 2N) doubled
-    negacyclic byte rows, combo index = r * L + vi."""
+    """(rows, k+1, 2N, 8) GGSW byte limbs -> (k+1, L*rows, 2N) doubled
+    negacyclic byte rows, combo index = vi * rows + r (key-limb-major)."""
     rows = (k + 1) * levels
     L = 8 - drop_limbs
     assert N % 128 == 0 and N >= 256
     kept = bsk_bytes_i[..., drop_limbs:]             # (rows, k+1, 2N, L)
-    return jnp.transpose(kept, (1, 0, 3, 2)).reshape(k + 1, rows * L, 2 * N)
+    return jnp.transpose(kept, (1, 3, 0, 2)).reshape(k + 1, L * rows, 2 * N)
 
 
 def external_product_step(diff: T.T64, bsk_kern: jax.Array,
@@ -519,12 +522,17 @@ def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
     # (the rotate stage is VPU work — block size doesn't affect the MXU)
     dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes,
                           block_m=64 if N > 512 else 128, plane_major=True)
-    # small-N lattices (the extraction presets) fit 4x the sample block in
-    # VMEM; bigger blocks amortize the per-cell Toeplitz materialization
-    # that dominates when the per-cell matmul is only ~33 MMAC
-    block_m = 256 if N <= 512 else 128
+    # small-N lattices (the extraction presets) fit 8x the sample block in
+    # VMEM; bigger blocks amortize per-cell fixed costs (grid dispatch,
+    # bucket flushes) that dominate when the per-cell matmul is small
+    # measured on-chip (PERFORMANCE.md): N<=512 extraction lattices peak
+    # at block_m=1024 with 2 combos per cell (VMEM ~14 MB); the N=2048
+    # main lattice at block 256 ungrouped
+    block_m = 1024 if N <= 512 else 256
+    gc = 2 if N <= 512 else 1
     nhi, nlo = fused_external(dB[0], dB[1], bigd_i, acc.hi, acc.lo,
-                              drop_limbs, cross, block_m=block_m)
+                              drop_limbs, cross, block_m=block_m,
+                              combos_per_cell=gc)
     return T.T64(nhi, nlo)
 
 
@@ -576,7 +584,7 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
         # sweep must cover M exactly (Mosaic rejects partial manual DMAs).
         # Pad odd batch sizes (e.g. a pbs_batch remainder chunk) with zero
         # ciphertexts and slice the results back off.
-        bm = 256 if N <= 512 else 128                # cmux block_m choice
+        bm = 1024 if N <= 512 else 256               # cmux block_m choice
         Mp = M + (-M) % (8 if M <= bm else bm)
         if Mp != M:
             zpad = ((0, Mp - M), (0, 0))

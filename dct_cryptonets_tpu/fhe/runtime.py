@@ -83,7 +83,10 @@ class CompiledModule:
     params: TFHEParams
     client_keys: ClientKeys | None = None
     device_keys: DeviceServerKeys | None = None
-    pbs_batch: int = 4096
+    # measured per-lattice batch sweet spots (PERFORMANCE.md): main
+    # bootstraps chunk at 2048, exact-rounding extraction at 4096
+    pbs_batch: int = 2048
+    aux_batch: int = 4096
     stats: dict = field(default_factory=dict)
     # Concrete's rounding exactness: "exact" (its default — LSB-extraction
     # PBS clears the dropped accumulator bits, execute == simulate
@@ -348,33 +351,45 @@ class CompiledModule:
 
         out_delta = 63 - spec.out_n
         cfg = self.exact_cfg
-        outs_hi, outs_lo = [], []
-        for s in range(0, M, self.pbs_batch):
-            e = min(s + self.pbs_batch, M)
-            chunk = T.T64(flat.hi[s:e], flat.lo[s:e])
-            if exact and spec.shift > keep:
-                assert self.aux_keys is not None, "keygen() first"
-                chunk = clear_low_bits(
-                    chunk, self.aux_keys, cfg.aux, n_in, spec.shift,
+        # pass 1: exact-rounding clears, in AUX-sized chunks.  The aux
+        # lattice's sweet spot (N=512: M=4096, fe block 1024) is twice the
+        # main lattice's (N=2048: M=2048, fe block 256) — measured on-chip,
+        # PERFORMANCE.md — so the two passes chunk independently.
+        if exact and spec.shift > keep:
+            assert self.aux_keys is not None, "keygen() first"
+            cleared_hi, cleared_lo = [], []
+            for s in range(0, M, self.aux_batch):
+                e = min(s + self.aux_batch, M)
+                ch = clear_low_bits(
+                    T.T64(flat.hi[s:e], flat.lo[s:e]),
+                    self.aux_keys, cfg.aux, n_in, spec.shift,
                     cfg.back_base_log, cfg.back_levels,
                     drop_limbs=self.aux_drop_limbs, cross=self.aux_cross,
                     fwd_ks_drop=self.aux_fwd_ks_drop,
                     back_ks_drop=self.aux_back_ks_drop, keep_low=keep)
-                self.stats["aux_pbs_executed"] = (
-                    self.stats.get("aux_pbs_executed", 0)
-                    + (spec.shift - keep) * (e - s))
-            if keep > 0:
-                # center the uncleared junk on the window center — after
-                # the clearing, so the subtraction cannot borrow into the
-                # (now cleared) extracted bit field.  At keep == shift no
-                # clearing ran and this cancels the round-half-up constant:
-                # the whole dropped range rides as a centered offset.
-                cc = T.from_i32_shifted(jnp.ones((e - s, 1), jnp.int32),
-                                        62 - n_in + keep)
-                cb = T.sub(T.T64(chunk.hi[:, -1:], chunk.lo[:, -1:]), cc)
-                chunk = T.T64(
-                    jnp.concatenate([chunk.hi[:, :-1], cb.hi], axis=1),
-                    jnp.concatenate([chunk.lo[:, :-1], cb.lo], axis=1))
+                cleared_hi.append(ch.hi)
+                cleared_lo.append(ch.lo)
+            flat = T.T64(jnp.concatenate(cleared_hi, 0),
+                         jnp.concatenate(cleared_lo, 0))
+            self.stats["aux_pbs_executed"] = (
+                self.stats.get("aux_pbs_executed", 0)
+                + (spec.shift - keep) * M)
+        if keep > 0:
+            # center the uncleared junk on the window center — after the
+            # clearing, so the subtraction cannot borrow into the (now
+            # cleared) extracted bit field.  At keep == shift no clearing
+            # ran and this cancels the round-half-up constant: the whole
+            # dropped range rides as a centered offset.
+            cc = T.from_i32_shifted(jnp.ones((M, 1), jnp.int32),
+                                    62 - n_in + keep)
+            cb = T.sub(T.T64(flat.hi[:, -1:], flat.lo[:, -1:]), cc)
+            flat = T.T64(jnp.concatenate([flat.hi[:, :-1], cb.hi], axis=1),
+                         jnp.concatenate([flat.lo[:, :-1], cb.lo], axis=1))
+        # pass 2: the main bootstraps, in pbs_batch chunks
+        outs_hi, outs_lo = [], []
+        for s in range(0, M, self.pbs_batch):
+            e = min(s + self.pbs_batch, M)
+            chunk = T.T64(flat.hi[s:e], flat.lo[s:e])
             res = bootstrap(chunk, site_tables[s:e], self.device_keys,
                             self.params, out_delta, drop_limbs, cross)
             outs_hi.append(res.hi)
@@ -448,7 +463,7 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
                       calib_absmax: float | None = None,
                       calib_data=None,
                       tfhe_params: TFHEParams | None = None,
-                      pbs_batch: int = 4096,
+                      pbs_batch: int = 2048,
                       drop_policy: str = "none",
                       p_error: float = 0.01,
                       range_margin: float = 1.0,
@@ -484,7 +499,7 @@ def compile_qat_model(params, state, spec, *, n_bits: int = 5,
 def compile_ptq_model(params, state, spec, calib_data, *, n_bits: int = 5,
                       rounding_threshold_bits=6,
                       tfhe_params: TFHEParams | None = None,
-                      pbs_batch: int = 4096) -> CompiledModule:
+                      pbs_batch: int = 2048) -> CompiledModule:
     """Post-training quantization compile of a trained FLOAT model.
 
     Mirrors ``compile_torch_model(model.module.feature, calib_data,

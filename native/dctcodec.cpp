@@ -7,8 +7,10 @@
 // preprocessing pipelines that overlap with device compute — and for hosts
 // feeding multiple accelerators.  Numerics mirror data/codec.py exactly
 // (cv2-convention YCrCb with the reference's Cr/Cb swap, bilinear
-// half-pixel resize, orthonormal blockwise DCT, fs-8 JPEG path with BT.601
-// and 2x2 box chroma downsample + integer-rounded coefficients).
+// half-pixel resize, orthonormal blockwise DCT; the fs-8 JPEG path is the
+// bit-exact libjpeg quality-100 integer pipeline of ops/jpegdct.py:
+// fixed-point jccolor conversion with the TJPF_BGR-on-RGB channel swap,
+// biased h2v2 downsample, islow FDCT, round-half-away quantization by 8).
 //
 // Build:  make -C native        (produces libdctcodec.so)
 // Python binding: dct_cryptonets_tpu/data/native.py (ctypes).
@@ -99,6 +101,76 @@ void resize_linear_u8_cv(const float* src, int sh, int sw, float* dst,
     }
 }
 
+// ---- libjpeg quality-100 integer forward path (fs == 8) -------------------
+// Mirrors ops/jpegdct.py (see its docstring for the spec: jccolor.c
+// fixed-point color conversion, jcsample.c h2v2 alternating-bias
+// downsample, jfdctint.c islow FDCT, jcdctmgr.c round-half-away /8).
+
+inline int32_t descale_j(int64_t x, int n) {
+  return static_cast<int32_t>((x + (int64_t{1} << (n - 1))) >> n);
+}
+
+// one islow butterfly pass over 8 values; first pass leaves PASS1_BITS
+// scaling, second removes it (CONST_BITS = 13, PASS1_BITS = 2)
+void fdct_islow_pass(int32_t* d, int stride, bool first) {
+  constexpr int CB = 13, PB = 2;
+  const int32_t c0298 = 2446, c0390 = 3196, c0541 = 4433, c0765 = 6270,
+                c0899 = 7373, c1175 = 9633, c1501 = 12299, c1847 = 15137,
+                c1961 = 16069, c2053 = 16819, c2562 = 20995, c3072 = 25172;
+  auto at = [&](int i) -> int32_t& { return d[i * stride]; };
+  int64_t tmp0 = at(0) + at(7), tmp7 = at(0) - at(7);
+  int64_t tmp1 = at(1) + at(6), tmp6 = at(1) - at(6);
+  int64_t tmp2 = at(2) + at(5), tmp5 = at(2) - at(5);
+  int64_t tmp3 = at(3) + at(4), tmp4 = at(3) - at(4);
+  int64_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  int64_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+  int ds = first ? CB - PB : CB + PB;
+  if (first) {
+    at(0) = static_cast<int32_t>((tmp10 + tmp11) << PB);
+    at(4) = static_cast<int32_t>((tmp10 - tmp11) << PB);
+  } else {
+    at(0) = descale_j(tmp10 + tmp11, PB);
+    at(4) = descale_j(tmp10 - tmp11, PB);
+  }
+  int64_t z1e = (tmp12 + tmp13) * c0541;
+  at(2) = descale_j(z1e + tmp13 * c0765, ds);
+  at(6) = descale_j(z1e - tmp12 * c1847, ds);
+  int64_t z1 = tmp4 + tmp7, z2 = tmp5 + tmp6;
+  int64_t z3 = tmp4 + tmp6, z4 = tmp5 + tmp7;
+  int64_t z5 = (z3 + z4) * c1175;
+  int64_t t4 = tmp4 * c0298, t5 = tmp5 * c2053;
+  int64_t t6 = tmp6 * c3072, t7 = tmp7 * c1501;
+  z1 *= -c0899;
+  z2 *= -c2562;
+  z3 = z3 * -c1961 + z5;
+  z4 = z4 * -c0390 + z5;
+  at(7) = descale_j(t4 + z1 + z3, ds);
+  at(5) = descale_j(t5 + z2 + z4, ds);
+  at(3) = descale_j(t6 + z2 + z3, ds);
+  at(1) = descale_j(t7 + z1 + z4, ds);
+}
+
+// plane (h, w) int pixel values -> (h/8, w/8, 64) q100 coefficients
+void fdct_islow_q100(const float* plane, int h, int w, float* out) {
+  int nh = h / 8, nw = w / 8;
+  int32_t blk[64];
+  for (int bi = 0; bi < nh; ++bi)
+    for (int bj = 0; bj < nw; ++bj) {
+      for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j)
+          blk[i * 8 + j] = static_cast<int32_t>(
+                               plane[(bi * 8 + i) * w + bj * 8 + j]) - 128;
+      for (int i = 0; i < 8; ++i) fdct_islow_pass(blk + i * 8, 1, true);
+      for (int j = 0; j < 8; ++j) fdct_islow_pass(blk + j, 8, false);
+      float* dst = out + (bi * nw + bj) * 64;
+      for (int t = 0; t < 64; ++t) {
+        int32_t v = blk[t];
+        int32_t m = (std::abs(v) + 4) >> 3;   // round half away, /8
+        dst[t] = static_cast<float>(v < 0 ? -m : m);
+      }
+    }
+}
+
 // orthonormal DCT basis T (fs x fs), row-major
 void dct_basis(int fs, double* T) {
   for (int i = 0; i < fs; ++i)
@@ -156,31 +228,40 @@ void ingest_one(const uint8_t* img, const Plan& p, float* out) {
   std::vector<float> y(P * P), cb(half * half), cr(half * half);
 
   if (p.fs == 8) {
-    // JPEG path: BT.601 YCbCr + 2x2 box chroma downsample, rounded coeffs
+    // JPEG path: libjpeg jccolor fixed point (16-bit FIX tables, floor
+    // shift) with the reference's TJPF_BGR-on-RGB channel swap — the "R"
+    // weight applies to the array's B channel and vice versa — then the
+    // jcsample h2v2 downsample with the 1,2,1,2 alternating bias.
     std::vector<float> cbf(P * P), crf(P * P);
     for (int i = 0; i < P * P; ++i) {
-      double r = img[i * 3], g = img[i * 3 + 1], b = img[i * 3 + 2];
-      double yy = 0.299 * r + 0.587 * g + 0.114 * b;
-      double cbv = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0;
-      double crv = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0;
-      y[i] = static_cast<float>(
-          std::fmin(255.0, std::fmax(0.0, std::nearbyint(yy))));
-      cbf[i] = static_cast<float>(
-          std::fmin(255.0, std::fmax(0.0, std::nearbyint(cbv))));
-      crf[i] = static_cast<float>(
-          std::fmin(255.0, std::fmax(0.0, std::nearbyint(crv))));
+      // swapped read: libjpeg's r := array B, b := array R
+      int64_t r = img[i * 3 + 2], g = img[i * 3 + 1], b = img[i * 3];
+      constexpr int64_t ONE_HALF = int64_t{1} << 15;
+      constexpr int64_t CBCR = int64_t{128} << 16;
+      int64_t yy = (19595 * r + 38470 * g + 7471 * b + ONE_HALF) >> 16;
+      int64_t cbv = (-11059 * r - 21709 * g + 32768 * b + CBCR +
+                     ONE_HALF - 1) >> 16;
+      int64_t crv = (32768 * r - 27439 * g - 5329 * b + CBCR +
+                     ONE_HALF - 1) >> 16;
+      y[i] = static_cast<float>(yy);
+      cbf[i] = static_cast<float>(cbv);
+      crf[i] = static_cast<float>(crv);
     }
-    for (int i = 0; i < half; ++i)
+    for (int i = 0; i < half; ++i) {
+      int bias = 1;                         // restarts at 1 each row
       for (int j = 0; j < half; ++j) {
-        auto box = [&](const std::vector<float>& v) {
-          double s = v[(2 * i) * P + 2 * j] + v[(2 * i) * P + 2 * j + 1] +
-                     v[(2 * i + 1) * P + 2 * j] +
-                     v[(2 * i + 1) * P + 2 * j + 1];
-          return static_cast<float>(std::nearbyint(s / 4.0));
+        auto h2v2 = [&](const std::vector<float>& v) {
+          int s = static_cast<int>(v[(2 * i) * P + 2 * j]) +
+                  static_cast<int>(v[(2 * i) * P + 2 * j + 1]) +
+                  static_cast<int>(v[(2 * i + 1) * P + 2 * j]) +
+                  static_cast<int>(v[(2 * i + 1) * P + 2 * j + 1]);
+          return static_cast<float>((s + bias) >> 2);
         };
-        cb[i * half + j] = box(cbf);
-        cr[i * half + j] = box(crf);
+        cb[i * half + j] = h2v2(cbf);
+        cr[i * half + j] = h2v2(crf);
+        bias ^= 3;                          // 1 -> 2 -> 1 -> ...
       }
+    }
   } else {
     // manual path: cv2 YCrCb via its 14-bit fixed-point arithmetic
     // (imgproc color_yuv; see data/codec.py rgb_to_ycrcb_cv); the
@@ -203,33 +284,42 @@ void ingest_one(const uint8_t* img, const Plan& p, float* out) {
   }
 
   const int fs2 = p.fs * p.fs;
+  const bool jpeg = p.fs == 8;
   std::vector<double> T(fs2);
-  dct_basis(p.fs, T.data());
-  bool rnd = p.fs == 8;
+  if (!jpeg) dct_basis(p.fs, T.data());
 
   const int nyb = P / p.fs;             // y blocks per side
   const int ncb = half / p.fs;          // chroma blocks per side
   std::vector<float> cy(nyb * nyb * fs2), ccb(ncb * ncb * fs2),
       ccr(ncb * ncb * fs2);
-  blockwise_dct(y.data(), P, P, p.fs, rnd, T.data(), cy.data());
-  blockwise_dct(cb.data(), half, half, p.fs, rnd, T.data(), ccb.data());
-  blockwise_dct(cr.data(), half, half, p.fs, rnd, T.data(), ccr.data());
+  if (jpeg) {
+    fdct_islow_q100(y.data(), P, P, cy.data());
+    fdct_islow_q100(cb.data(), half, half, ccb.data());
+    fdct_islow_q100(cr.data(), half, half, ccr.data());
+  } else {
+    blockwise_dct(y.data(), P, P, p.fs, false, T.data(), cy.data());
+    blockwise_dct(cb.data(), half, half, p.fs, false, T.data(), ccb.data());
+    blockwise_dct(cr.data(), half, half, p.fs, false, T.data(), ccr.data());
+  }
 
-  // upscale coefficient maps to (S, S, fs2) where needed
+  // upscale coefficient maps to (S, S, fs2) where needed; the fs=8 path
+  // resizes int16 coefficient maps, which cv2 routes through float
+  // accumulation + saturate_cast<short> (round-half-even) — mirrored with
+  // nearbyint after the float bilinear.
   std::vector<float> uy(p.S * p.S * fs2), ucb(p.S * p.S * fs2),
       ucr(p.S * p.S * fs2);
-  if (nyb != p.S)
-    resize_bilinear(cy.data(), nyb, nyb, fs2, uy.data(), p.S, p.S);
-  else
-    uy = cy;
-  if (ncb != p.S)
-    resize_bilinear(ccb.data(), ncb, ncb, fs2, ucb.data(), p.S, p.S);
-  else
-    ucb = ccb;
-  if (ncb != p.S)
-    resize_bilinear(ccr.data(), ncb, ncb, fs2, ucr.data(), p.S, p.S);
-  else
-    ucr = ccr;
+  auto upscale = [&](std::vector<float>& src, int nb, std::vector<float>& dst) {
+    if (nb == p.S) {
+      dst = src;
+      return;
+    }
+    resize_bilinear(src.data(), nb, nb, fs2, dst.data(), p.S, p.S);
+    if (jpeg)
+      for (auto& v : dst) v = static_cast<float>(std::nearbyint(v));
+  };
+  upscale(cy, nyb, uy);
+  upscale(ccb, ncb, ucb);
+  upscale(ccr, ncb, ucr);
 
   // subset + aggregate + normalize -> (S, S, C) channel-last
   const int C = p.n_y + p.n_cb + p.n_cr;

@@ -70,7 +70,11 @@ def main():
     labels = local_batch_to_global(mesh, g_labels[lo:lo + 4])
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    key = jax.device_put(jax.random.key(7), NamedSharding(mesh, P()))
+    # device_put of a typed PRNG key array rejects non-addressable
+    # (multi-process) shardings; replicate the raw key data and re-wrap
+    kd = jax.device_put(jax.random.key_data(jax.random.key(7)),
+                        NamedSharding(mesh, P()))
+    key = jax.random.wrap_key_data(kd)
     params, state, opt_state, loss, logits = train_step(
         params, state, opt_state, key, images, labels)
     loss_val = float(loss)

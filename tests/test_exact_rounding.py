@@ -80,6 +80,7 @@ def test_partial_clearing_matches_integer_arithmetic(aux_setup, shift, keep):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_execute_matches_simulate_both_rounding_methods():
     """Tiny net, heavy rounding: exact and approximate modes both match the
     simulator at test noise (approximate only because noise << LSB here;
@@ -158,6 +159,7 @@ def test_audit_partial_clearing_centering_order():
     np.testing.assert_array_equal(feats_exe, feats_sim)
 
 
+@pytest.mark.slow
 def test_execute_matches_simulate_audit_partial_clearing():
     """drop_policy='audit' with keep_low > 0 and all limb drops forced to
     zero must stay bit-exact vs the simulator.  Regression for the

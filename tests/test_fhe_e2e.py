@@ -121,6 +121,7 @@ def test_simulator_rounding_degrades_gracefully(tiny_model):
     assert corr > 0.5, corr
 
 
+@pytest.mark.slow
 def test_execute_matches_simulate_bit_exact(tiny_model):
     """The headline contract: encrypted execution == integer simulation."""
     params, state = tiny_model
@@ -157,6 +158,7 @@ TINY2 = ModelSpec(
 )
 
 
+@pytest.mark.slow
 def test_rescale_execute_matches_simulate():
     from dct_cryptonets_tpu.models import calibrate_scales
     from dct_cryptonets_tpu.fhe.circuit import Rescale

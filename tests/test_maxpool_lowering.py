@@ -1,5 +1,6 @@
 """Maxpool-stem lowering (RGB 7x7-stem topologies) tests."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def test_pooled_stem_simulator_matches_qat_exactly():
     np.testing.assert_allclose(feats_sim, np.asarray(feats_qat), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pooled_stem_execute_matches_simulate():
     params, state, x = _prep(POOLED)
     # approximate rounding is bit-exact at TEST_PARAMS noise (same

@@ -148,18 +148,31 @@ class TestNoiseAudit:
         assert res.summary().count("p_window") == len(tlus)
 
     def test_partial_clearing_saves_extractions(self):
-        """The audit's keep_low must skip a meaningful share of extraction
-        bootstraps (the low dropped bits sit below the mod-switch noise
-        floor) while every decision stays within p_error."""
+        """The audit's keep_low skips extraction bootstraps where the
+        honest junk accounting affords it, within p_error.
+
+        Under the WORST-CASE bounded-junk pricing (r4: the uncleared bits
+        shrink the window margin by their bound rather than adding a
+        Gaussian-variance term — the old model grossly understated slips
+        and was the source of r3's over-deep keep choices), the main
+        mod-switch noise floor at r=6 (sigma_ms ~ 2^54.6 vs margin 2^56,
+        p_floor ~ 7e-3) leaves room for keep_low only on the
+        largest-shift layers."""
         circ, _ = _flagship_circuit()
         p = params_for_precision(6)
         res = audit_circuit(circ, p, p_error=0.01, rounding_method="exact")
         assert res.max_p_error <= 0.01
         full = sum(r.sites * r.shift for r in res.reports)
         cleared = sum(r.sites * r.cleared for r in res.reports)
-        assert cleared < 0.85 * full, (cleared, full)
+        assert cleared <= full
         for r in res.reports:
-            assert 0 <= r.keep_low <= min(r.shift, 4)
+            assert 0 <= r.keep_low <= min(r.shift, 6)
+        # at the preset-6 mod-switch floor the 0.01 budget prices keep_low
+        # out entirely (the cost-aware greedy prefers main drops); with a
+        # looser contract the slack must buy uncleared bits again
+        loose = audit_circuit(circ, p, p_error=0.05, rounding_method="exact")
+        assert loose.max_p_error <= 0.05
+        assert any(r.keep_low > 0 for r in loose.reports if r.shift >= 7)
         # a stricter contract can only keep fewer bits uncleared
         strict = audit_circuit(circ, p, p_error=0.001,
                                rounding_method="exact")

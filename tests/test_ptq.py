@@ -2,6 +2,7 @@
 homomorphic_eval.py:95-98, 287-295): float model -> calibrated integer
 circuit -> encrypted execution."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_ptq_simulate_tracks_float_forward():
     assert err < 0.25, err
 
 
+@pytest.mark.slow
 def test_ptq_execute_matches_simulate():
     params, state, x = _trained_float(TINY_F)
     module = compile_ptq_model(params, state, TINY_F, np.asarray(x[:8]),

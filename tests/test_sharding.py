@@ -11,6 +11,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     """The driver-facing dry run: full sharded training step on 8 devices."""
     import importlib.util
@@ -82,6 +83,7 @@ def test_sharded_pbs_batch():
     np.testing.assert_array_equal(dec, msgs)
 
 
+@pytest.mark.slow
 def test_module_level_sharded_execute():
     """CompiledModule.forward(fhe='execute', mesh=...) with replicated keys
     and a sharded ciphertext batch matches the unsharded run bit-exactly."""
