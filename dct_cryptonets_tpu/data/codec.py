@@ -346,6 +346,59 @@ def _image_jitter(key, x, brightness=0.4, contrast=0.4, color=0.4):
     return jnp.clip(x, 0, 255)
 
 
+# RGB (non-DCT) normalization stats: the reference uses CIFAR stats + 0.1
+# jitter for cifar10 RGB and ImageNet stats + 0.4 jitter otherwise
+# (reference homomorphic_eval.py:100-111, datamgr.py:26-42)
+RGB_STATS = {
+    "cifar10": ((0.4914, 0.4822, 0.4465), (0.2023, 0.1994, 0.2010)),
+    "default": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+}
+
+
+def rgb_jitter_param(dataset: str) -> float:
+    """0.1 for cifar10 RGB, 0.4 (the datamgr default) otherwise
+    (reference homomorphic_eval.py:102-111, datamgr.py:38-42)."""
+    return 0.1 if dataset == "cifar10" else 0.4
+
+
+def rgb_normalize(x: jax.Array, dataset: str = "cifar10") -> jax.Array:
+    """ToTensor + Normalize for the RGB path; input is 0..255 float/uint8."""
+    mean, std = RGB_STATS.get(dataset, RGB_STATS["default"])
+    mean = jnp.asarray(mean) * 255.0
+    std = jnp.asarray(std) * 255.0
+    return (jnp.asarray(x, jnp.float32) - mean) / std
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def rgb_ingest(images_u8: jax.Array, image_size: int,
+               dataset: str = "cifar10") -> jax.Array:
+    """RGB eval-path ingest: Resize(1.15x) -> CenterCrop -> Normalize.
+
+    Mirrors the reference's aug=False RGB composed transform
+    (datamgr.py:82-90: Resize([int(size*1.15)]*2), CenterCrop(size),
+    ToTensor, Normalize)."""
+    big = int(image_size * 1.15)
+    x = resize_bilinear(jnp.asarray(images_u8, jnp.float32), big, big)
+    x = center_crop(x, image_size)
+    return rgb_normalize(x, dataset)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def rgb_ingest_train(key: jax.Array, images_u8: jax.Array, image_size: int,
+                     dataset: str = "cifar10") -> jax.Array:
+    """RGB train-path ingest: RandomResizedCrop -> jitter -> hflip ->
+    Normalize (reference datamgr.py:69-80 aug=True list; jitter strength
+    per dataset, homomorphic_eval.py:102-111)."""
+    j = rgb_jitter_param(dataset)
+    kc, kj, kf = jax.random.split(key, 3)
+    x = _random_resized_crop(kc, images_u8, image_size)
+    x = _image_jitter(kj, x, brightness=j, contrast=j, color=j)
+    flip = jax.random.bernoulli(kf, 0.5, (x.shape[0], 1, 1, 1))
+    x = jnp.where(flip, x[:, :, ::-1, :], x)
+    x = jnp.clip(jnp.round(x), 0, 255)
+    return rgb_normalize(x, dataset)
+
+
 @partial(jax.jit, static_argnums=2)
 def dct_ingest_train(key: jax.Array, images_u8: jax.Array, cfg: CodecConfig) -> jax.Array:
     """Train-path ingest: RandomResizedCrop(P) -> jitter -> hflip -> DCT.

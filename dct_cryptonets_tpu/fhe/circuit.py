@@ -312,11 +312,16 @@ def tlu_index(acc: jax.Array, spec: TluSpec) -> jax.Array:
     return jnp.clip(u, 0, (1 << spec.in_bits) - 1)
 
 
-def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
+def simulate(circuit: Circuit, x: jax.Array, return_env: bool = False):
     """Run the integer circuit on a float input batch (B, H, W, C).
 
     Returns the dequantized float features (B, F) — what the clear
     classifier consumes.  Bit-exact oracle for the encrypted runtime.
+
+    ``return_env=True`` additionally returns the full wire -> integer
+    tensor environment, so the encrypted runtime can decrypt-and-compare
+    every TLU output against its clear value (realized-slip audit,
+    ``CompiledModule.run_encrypted(check_ref=...)``).
     """
     env = {}
     out = None
@@ -352,6 +357,8 @@ def simulate(circuit: Circuit, x: jax.Array) -> jax.Array:
         else:
             raise TypeError(f"unknown op {op!r}")
     assert out is not None, "circuit has no Output op"
+    if return_env:
+        return out, env
     return out
 
 

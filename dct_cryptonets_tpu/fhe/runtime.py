@@ -211,19 +211,49 @@ class CompiledModule:
         v = np.where(v >= mod // 2, v - mod, v)
         return v.astype(np.float32) * out_op.scale
 
+    def _decrypt_wire(self, ct: T.T64, wire) -> np.ndarray:
+        """Decrypt an intermediate ciphertext wire -> signed int values
+        (B, H, W, C), decoded at the wire's accumulator budget.  Client-key
+        debug path used by the realized-slip audit (``check_ref``)."""
+        n = self.circuit.n_budget[wire]
+        shift = 63 - n
+        cts = T.to_u64(ct)                            # (B, n1, H, W, C)
+        flat = np.moveaxis(cts, 1, -1)                # (B, H, W, C, n1)
+        phase = decrypt_lwe(self.client_keys, flat,
+                            key=self.client_keys.big_lwe_key)
+        with np.errstate(over="ignore"):
+            v = ((phase + (U64(1) << U64(shift - 1))) >> U64(shift))
+        mod = 1 << (n + 1)
+        v = (v & U64(mod - 1)).astype(np.int64)
+        return np.where(v >= mod // 2, v - mod, v)
+
     # -- server side -------------------------------------------------------
-    def run_encrypted(self, ct_in: T.T64, drop_limbs: int | None = None) -> T.T64:
+    def run_encrypted(self, ct_in: T.T64, drop_limbs: int | None = None,
+                      check_ref: dict | None = None) -> T.T64:
         """Server-side evaluation, with per-stage wall-clock accounting
         (the reference only reports end-to-end FHE latency; we also track
         levelled vs PBS time and a PBS/s counter — SURVEY §5).
 
         ``drop_limbs``: explicit global blind-rotate limb drop; None means
         policy-driven (0 under "none", per-TLU audited values under
-        "audit")."""
+        "audit").
+
+        ``check_ref``: optional clear wire environment from
+        ``circuit.simulate(..., return_env=True)``.  Debug/audit-validation
+        mode (needs client keys): after every TLU the output is decrypted
+        and compared element-wise against its clear value — the REALIZED
+        per-TLU slip count vs the noise audit's per-PBS p_error bound.
+        Mismatched positions are re-aligned by a plaintext constant add on
+        the ciphertext body (no noise change), so every TLU measures its
+        own slip rate against correct inputs with the genuine accumulated
+        noise rather than compounding the first divergence.  Results land
+        in ``stats["tlu_slips"] / ["tlu_sites"] / ["tlu_slip_detail"]``."""
         if drop_limbs is None and self.drop_policy == "audit":
             self.run_audit()
         env = {}
         pbs_count = 0
+        slips = sites = 0
+        slip_detail = []
         t0 = time.time()
         t_lvl = t_pbs = 0.0
         for op in self.circuit.ops:
@@ -276,6 +306,23 @@ class CompiledModule:
                 pbs_count += int(np.prod(env[op.x].hi.shape[:1] +
                                          env[op.x].hi.shape[2:]))
                 t_pbs += time.time() - t_op
+                if check_ref is not None:
+                    got = self._decrypt_wire(env[op.out], op.out)
+                    ref = np.asarray(check_ref[op.out], np.int64)
+                    diff = ref - got
+                    n_bad = int(np.count_nonzero(diff))
+                    slips += n_bad
+                    sites += got.size
+                    slip_detail.append((op.out, n_bad, got.size))
+                    if n_bad:
+                        # re-align slipped values with a plaintext add on
+                        # the body (noise untouched) so downstream TLUs
+                        # measure their own slip rate, not this one's echo
+                        shift = 63 - self.circuit.n_budget[op.out]
+                        cts = T.to_u64(env[op.out])
+                        with np.errstate(over="ignore"):
+                            cts[:, -1] += diff.astype(U64) << U64(shift)
+                        env[op.out] = T.from_u64(cts)
             elif isinstance(op, Output):
                 result = env[op.x]
             else:
@@ -289,6 +336,9 @@ class CompiledModule:
             "pbs_time": t_pbs,
             "pbs_per_sec": pbs_count / t_pbs if t_pbs > 0 else None,
         })
+        if check_ref is not None:
+            self.stats.update({"tlu_slips": slips, "tlu_sites": sites,
+                               "tlu_slip_detail": slip_detail})
         return result
 
     def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int | None) -> T.T64:

@@ -21,26 +21,29 @@ import numpy as np
 
 from .config import parse_args
 from .data import pipeline
-from .data.codec import CodecConfig, dct_ingest
+from .data.codec import CodecConfig, dct_ingest, rgb_ingest
 from .fhe.runtime import compile_ptq_model, compile_qat_model
 from .models import (build_spec, calibrate_scales, forward, init_model,
                      model_summary)
 from .utils import AverageMeter, topk_accuracy
 
 
-def _ingest(images, codec_cfg):
-    if codec_cfg is None:
-        mean = jnp.asarray([0.4914, 0.4822, 0.4465]) * 255.0
-        std = jnp.asarray([0.2023, 0.1994, 0.2010]) * 255.0
-        return (jnp.asarray(images, jnp.float32) - mean) / std
-    return dct_ingest(jnp.asarray(images), codec_cfg)
+def make_ingest(codec_cfg, image_size: int = 32, dataset: str = "cifar10"):
+    """Eval-path ingest closure: DCT codec when ``codec_cfg`` is given,
+    else the reference's RGB aug=False transform (Resize 1.15x +
+    CenterCrop + Normalize with per-dataset stats, datamgr.py:82-90)."""
+    def _in(images):
+        if codec_cfg is None:
+            return rgb_ingest(jnp.asarray(images), image_size, dataset)
+        return dct_ingest(jnp.asarray(images), codec_cfg)
+    return _in
 
 
-def test_unencrypted(params, state, spec, codec_cfg, ds, idx, batch):
+def test_unencrypted(params, state, spec, ingest, ds, idx, batch):
     top1, top5 = AverageMeter(), AverageMeter()
     for images, labels in pipeline.batches(ds, idx, batch, shuffle=False,
                                            drop_remainder=False):
-        x = _ingest(images, codec_cfg)
+        x = ingest(images)
         _, logits, _ = forward(params, state, x, spec, train=False)
         p1, p5 = topk_accuracy(np.asarray(logits), labels)
         top1.update(p1, len(labels))
@@ -48,7 +51,7 @@ def test_unencrypted(params, state, spec, codec_cfg, ds, idx, batch):
     return top1, top5
 
 
-def test_encrypted(module, clf_w, clf_b, codec_cfg, ds, idx, batch, fhe_mode,
+def test_encrypted(module, clf_w, clf_b, ingest, ds, idx, batch, fhe_mode,
                    drop_limbs=0, mesh=None, resume=None):
     """Encrypted-trunk + clear-classifier eval (reference
     homomorphic_eval.py:60-86).
@@ -67,7 +70,7 @@ def test_encrypted(module, clf_w, clf_b, codec_cfg, ds, idx, batch, fhe_mode,
             top1.update(p1, n)
             top5.update(p5, n)
             continue
-        x = np.asarray(_ingest(images, codec_cfg))
+        x = np.asarray(ingest(images))
         feats = module.forward(x, fhe=fhe_mode, drop_limbs=drop_limbs,
                                mesh=mesh)
         logits = feats @ clf_w + clf_b
@@ -139,6 +142,7 @@ def main_impl(cfg):
                       num_classes=cfg.num_classes, bit_width=cfg.bit_width)
     codec_cfg = CodecConfig(cfg.channels, cfg.filter_size, cfg.image_size_dct,
                             cfg.dct_pattern) if cfg.dct_status else None
+    ingest = make_ingest(codec_cfg, cfg.image_size, cfg.dataset)
 
     pix = codec_cfg.pixel_size if codec_cfg else cfg.image_size
     trainset = pipeline.get_dataset(cfg.dataset, cfg.dataset_path, True,
@@ -167,9 +171,9 @@ def main_impl(cfg):
         calib_imgs = trainset.gather(
             np.arange(min(cfg.calib_batch_size, len(trainset))))[0]
         params = calibrate_scales(params, state,
-                                  _ingest(calib_imgs, codec_cfg), spec)
+                                  ingest(calib_imgs), spec)
         _, _, state = forward(params, state,
-                              _ingest(calib_imgs, codec_cfg), spec, train=True)
+                              ingest(calib_imgs), spec, train=True)
 
     # compile trunk -> FHE circuit (classifier stays clear); the first
     # calib batch drives accumulator-range calibration
@@ -184,7 +188,7 @@ def main_impl(cfg):
     print(f"\nCompiling FHE Model ({quantization_type})...")
     calib_imgs = trainset.gather(
         np.arange(min(cfg.calib_batch_size, len(trainset))))[0]
-    calib_x = np.asarray(_ingest(calib_imgs, codec_cfg))
+    calib_x = np.asarray(ingest(calib_imgs))
     t = time.time()
     if quantization_type == "QAT":
         module = compile_qat_model(
@@ -239,9 +243,9 @@ def main_impl(cfg):
 
     # clear sanity eval
     print(f"\nRunning UNENCRYPTED model on a subset of {cfg.test_subset} images...")
-    v1, v5 = test_unencrypted(params, state, spec, codec_cfg, trainset,
+    v1, v5 = test_unencrypted(params, state, spec, ingest, trainset,
                               val_idx, cfg.calib_batch_size)
-    t1, t5 = test_unencrypted(params, state, spec, codec_cfg, testset,
+    t1, t5 = test_unencrypted(params, state, spec, ingest, testset,
                               test_idx, cfg.calib_batch_size)
     print(f"[Validation] Top-1 Acc: {v1.avg:.3f}% | Top-5 Acc: {v5.avg:.3f}%")
     print(f"[Test] Top-1 Acc: {t1.avg:.3f}% | Top-5 Acc: {t5.avg:.3f}%")
@@ -250,7 +254,7 @@ def main_impl(cfg):
     if cfg.fhe_mode == "simulate":
         t = time.time()
         print(f"\nRunning ENCRYPTED validation inference in SIMULATE mode...")
-        e1, e5 = test_encrypted(module, clf_w, clf_b, codec_cfg, trainset,
+        e1, e5 = test_encrypted(module, clf_w, clf_b, ingest, trainset,
                                 val_idx, cfg.calib_batch_size, "simulate")
         dt = (time.time() - t) / max(len(val_idx), 1)
         print(f"[Validation] Top-1 Acc: {e1.avg:.3f}% | Top-5 Acc: "
@@ -278,7 +282,7 @@ def main_impl(cfg):
     t = time.time()
     print(f"\nRunning ENCRYPTED test inference in {cfg.fhe_mode.upper()} mode "
           f"on a subset of {len(test_idx)} images...")
-    e1, e5 = test_encrypted(module, clf_w, clf_b, codec_cfg, testset,
+    e1, e5 = test_encrypted(module, clf_w, clf_b, ingest, testset,
                             test_idx, cfg.test_batch_size, cfg.fhe_mode,
                             cfg.drop_limbs, mesh=mesh, resume=resume)
     dt = (time.time() - t) / max(len(test_idx), 1)
@@ -299,9 +303,9 @@ def main_impl(cfg):
             _, sub_idx = pipeline.train_val_split(
                 len(testset), min(cfg.test_subset, len(testset) - 1),
                 random_state=rstate)
-            p1, p5 = test_unencrypted(params, state, spec, codec_cfg,
+            p1, p5 = test_unencrypted(params, state, spec, ingest,
                                       testset, sub_idx, cfg.calib_batch_size)
-            e1, e5 = test_encrypted(module, clf_w, clf_b, codec_cfg, testset,
+            e1, e5 = test_encrypted(module, clf_w, clf_b, ingest, testset,
                                     sub_idx, cfg.calib_batch_size, "simulate")
             top1_plain.append(round(p1.avg, 3))
             top5_plain.append(round(p5.avg, 3))

@@ -72,6 +72,26 @@ class ModelSpec:
                 indim = self.widths[i]
 
 
+def trunk_feat_dim(spec: "ModelSpec") -> int:
+    """Flattened feature count after the trunk's avgpool, from the actual
+    spatial arithmetic (not assumed 1x1).  The reference hardcodes
+    ``final_feat_dim = indim`` (backbone.py:280) which is only correct when
+    the avgpool output is 1x1; its own '48_3_32' RGB entry leaves a 16x16
+    map that AvgPool2d(7) reduces to 2x2 (256 flattened features vs its
+    Linear(64) — not buildable as shipped, same class of defect as the
+    '48_24_16' topology hole documented in models/topology.py).  Deriving
+    the true count makes every topology entry self-consistent."""
+    st = spec.stem
+    oh = (spec.img_size + 2 * st.conv1_padding
+          - st.conv1_kernel) // st.conv1_stride + 1
+    if st.pool1_kernel is not None:
+        oh = (oh + 2 * 1 - st.pool1_kernel) // st.pool1_stride + 1
+    for _, _, half in spec.block_layout():
+        oh = (oh + 2 - 3) // (2 if half else 1) + 1
+    oh //= st.avgpool_kernel
+    return oh * oh * spec.widths[-1]
+
+
 def build_spec(model: str, *, in_channels: int, img_size: int,
                num_classes: int = 10, bit_width: int = 4) -> ModelSpec:
     """Model registry, mirroring reference ``model_dict`` (io_utils.py:5-10)."""
@@ -164,7 +184,7 @@ def init_model(key, spec: ModelSpec):
         head_p["quant_pool"] = _act_scale()
     params["head"] = head_p
 
-    feat_dim = spec.widths[-1]
+    feat_dim = trunk_feat_dim(spec)
     # Classifier: torch nn.Linear default init (uniform +-1/sqrt(fan_in)),
     # bias zeroed as in reference BaselineTrain (utils.py:23).
     lim = 1.0 / math.sqrt(feat_dim)

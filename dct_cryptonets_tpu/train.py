@@ -28,7 +28,8 @@ import numpy as np
 import optax
 
 from .config import checkpoint_dir_for, parse_args
-from .data.codec import CodecConfig, dct_ingest, dct_ingest_train
+from .data.codec import (CodecConfig, dct_ingest, dct_ingest_train,
+                         rgb_ingest, rgb_ingest_train)
 from .data import pipeline
 from .models import (build_spec, calibrate_scales, forward, init_model,
                      model_summary)
@@ -65,10 +66,13 @@ def make_steps(spec, cfg, codec_cfg, opt, dropout):
 
     def ingest(key, images, train):
         if codec_cfg is None:
-            # RGB path: normalize like the reference CIFAR transform
-            mean = jnp.asarray([0.4914, 0.4822, 0.4465]) * 255.0
-            std = jnp.asarray([0.2023, 0.1994, 0.2010]) * 255.0
-            return (images.astype(jnp.float32) - mean) / std
+            # RGB path (reference datamgr.get_composed_transform): aug=True
+            # -> RandomResizedCrop + jitter (0.1 for cifar10 RGB) + hflip;
+            # aug=False -> Resize(1.15x) + CenterCrop; then Normalize
+            if train and cfg.train_aug:
+                return rgb_ingest_train(key, images, cfg.image_size,
+                                        cfg.dataset)
+            return rgb_ingest(images, cfg.image_size, cfg.dataset)
         if train and cfg.train_aug:
             return dct_ingest_train(key, images, codec_cfg)
         return dct_ingest(images, codec_cfg)
@@ -171,11 +175,9 @@ def main_impl(cfg):
     if spec.quantized:
         # runtime-stats activation-scale calibration on one batch
         imgs0, _ = trainset.gather(train_idx[:64])
-        x0 = dct_ingest(jnp.asarray(imgs0), codec_cfg) if codec_cfg else None
-        if x0 is None:
-            mean = jnp.asarray([0.4914, 0.4822, 0.4465]) * 255.0
-            std = jnp.asarray([0.2023, 0.1994, 0.2010]) * 255.0
-            x0 = (jnp.asarray(imgs0, jnp.float32) - mean) / std
+        x0 = (dct_ingest(jnp.asarray(imgs0), codec_cfg) if codec_cfg
+              else rgb_ingest(jnp.asarray(imgs0), cfg.image_size,
+                              cfg.dataset))
         params = calibrate_scales(params, state, x0, spec)
 
     n_params = sum(int(np.prod(p.shape))

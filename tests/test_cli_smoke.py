@@ -41,3 +41,18 @@ def test_homomorphic_eval_ptq_simulate(capsys):
     assert "Compiling FHE Model (PTQ)" in out
     assert "Max bit-width:" in out and "it works in FHE" in out
     assert "Done" in out
+
+
+def test_train_rgb_with_aug(tmp_path, capsys):
+    """RGB (non-DCT) training path with --train_aug: RandomResizedCrop +
+    jitter + hflip wired into the jitted train step (reference
+    datamgr.py:69-80); eval path uses Resize 1.15x + CenterCrop."""
+    from dct_cryptonets_tpu.train import main
+    main(["--dataset", "synthetic", "--model", "ResNet20qat",
+          "--image_size", "32", "--train_aug",
+          "--stop_epoch", "1", "--batch_size", "64", "--test_batch_size",
+          "50", "--synthetic_size", "256", "--save_path", str(tmp_path),
+          "--verbose", ""])
+    out = capsys.readouterr().out
+    assert "Test Acc:" in out
+    assert "nan" not in out.lower()

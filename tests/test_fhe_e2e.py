@@ -136,6 +136,32 @@ def test_execute_matches_simulate_bit_exact(tiny_model):
     np.testing.assert_array_equal(feats_exe, feats_sim)
 
 
+def test_realized_slip_audit_zero_under_bit_exact_contract(tiny_model):
+    """run_encrypted(check_ref=...) decrypts every TLU output and counts
+    mismatches vs the clear simulator (the realized-slip audit used by the
+    measured full-image run).  Under drop_policy='none' the bit-exact
+    contract holds, so the realized slip count must be exactly zero and
+    the realigned execute output must still equal the simulator's."""
+    params, state = tiny_model
+    module = compile_qat_model(
+        params, state, TINY, n_bits=3, rounding_threshold_bits=3,
+        calib_absmax=2.0, tfhe_params=TEST_PARAMS, pbs_batch=512)
+    module.keygen(seed=7)
+
+    x = np.clip(np.random.default_rng(5).normal(0, 0.7, (1, 4, 4, 3)), -2, 2)
+    x = x.astype(np.float32)
+    feats_sim, env = simulate(module.circuit, jnp.asarray(x),
+                              return_env=True)
+    ct = module.encrypt(x)
+    out = module.run_encrypted(ct, check_ref={
+        k: np.asarray(v) for k, v in env.items()})
+    np.testing.assert_array_equal(module.decrypt_feats(out),
+                                  np.asarray(feats_sim))
+    assert module.stats["tlu_slips"] == 0
+    assert module.stats["tlu_sites"] == module.circuit.num_pbs
+    assert all(n == 0 for _, n, _ in module.stats["tlu_slip_detail"])
+
+
 def test_balanced_bytes_roundtrip():
     rng = np.random.default_rng(11)
     x = rng.integers(0, 1 << 63, (257,), dtype=np.int64).astype(np.uint64)

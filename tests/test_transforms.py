@@ -190,3 +190,38 @@ class TestSizing:
         img = _rand_img(jax.random.key(20), n=4, size=16)
         out = jax.jit(pipe)(jax.random.key(21), img)
         assert out.shape == img.shape
+
+
+class TestRgbIngest:
+    """RGB (non-DCT) train/eval ingest — reference datamgr.py:69-90 recipe
+    (RandomResizedCrop + per-dataset jitter + hflip for aug=True;
+    Resize 1.15x + CenterCrop for aug=False; Normalize both)."""
+
+    def test_train_aug_changes_batch_eval_does_not(self):
+        from dct_cryptonets_tpu.data.codec import rgb_ingest, rgb_ingest_train
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        e1 = np.asarray(rgb_ingest(jnp.asarray(imgs), 32))
+        e2 = np.asarray(rgb_ingest(jnp.asarray(imgs), 32))
+        np.testing.assert_array_equal(e1, e2)          # eval: deterministic
+        t1 = np.asarray(rgb_ingest_train(jax.random.key(0),
+                                         jnp.asarray(imgs), 32, "cifar10"))
+        t2 = np.asarray(rgb_ingest_train(jax.random.key(1),
+                                         jnp.asarray(imgs), 32, "cifar10"))
+        assert t1.shape == e1.shape == (4, 32, 32, 3)
+        assert not np.array_equal(t1, e1)              # aug changed pixels
+        assert not np.array_equal(t1, t2)              # key-dependent
+
+    def test_normalization_stats_per_dataset(self):
+        from dct_cryptonets_tpu.data.codec import RGB_STATS, rgb_normalize
+        x = jnp.full((1, 2, 2, 3), 128.0)
+        for name in ("cifar10", "imagenet"):
+            mean, std = RGB_STATS.get(name, RGB_STATS["default"])
+            want = (128.0 - np.asarray(mean) * 255) / (np.asarray(std) * 255)
+            got = np.asarray(rgb_normalize(x, name))[0, 0, 0]
+            np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_jitter_strength_follows_reference(self):
+        from dct_cryptonets_tpu.data.codec import rgb_jitter_param
+        assert rgb_jitter_param("cifar10") == 0.1   # homomorphic_eval.py:108
+        assert rgb_jitter_param("Imagenet") == 0.4  # datamgr.py:38-42 default
