@@ -314,6 +314,9 @@ class CompiledModule:
                     slips += n_bad
                     sites += got.size
                     slip_detail.append((op.out, n_bad, got.size))
+                    print(f"# slip-audit {op.out}: {n_bad}/{got.size} "
+                          f"(cum {slips}/{sites}, {pbs_count} PBS, "
+                          f"{time.time()-t0:.0f}s)", flush=True)
                     if n_bad:
                         # re-align slipped values with a plaintext add on
                         # the body (noise untouched) so downstream TLUs
