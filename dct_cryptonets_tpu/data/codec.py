@@ -330,19 +330,27 @@ def _random_resized_crop(key, images, out_size, scale=(0.08, 1.0),
 def _image_jitter(key, x, brightness=0.4, contrast=0.4, color=0.4):
     """Batched brightness/contrast/saturation jitter.
 
-    Equivalent in effect to reference ImageJitter (cvtransforms.py, PIL
-    enhancers with factor = alpha * U(-1, 1) + 1).  x: float (B, H, W, 3).
+    Matches reference ImageJitter's enhancer order — Brightness, Contrast,
+    Color, its transformdict iteration order (cvtransforms.py, PIL
+    enhancers with factor = alpha * U(-1, 1) + 1); each stage measures its
+    gray statistics on the image produced by the previous stage, like the
+    PIL enhancers do.  x: float (B, H, W, 3).
     """
     B = x.shape[0]
     kb, kc, ks = jax.random.split(key, 3)
     fb = 1.0 + brightness * (jax.random.uniform(kb, (B, 1, 1, 1)) * 2 - 1)
     fc = 1.0 + contrast * (jax.random.uniform(kc, (B, 1, 1, 1)) * 2 - 1)
     fs = 1.0 + color * (jax.random.uniform(ks, (B, 1, 1, 1)) * 2 - 1)
-    x = x * fb
-    gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
-    x = gray + (x - gray) * fs                      # saturation ("Color")
-    mean = gray.mean(axis=(1, 2), keepdims=True)
+
+    def gray_of(img):
+        return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])[..., None]
+
+    x = x * fb                                      # brightness
+    mean = gray_of(x).mean(axis=(1, 2), keepdims=True)
     x = mean + (x - mean) * fc                      # contrast
+    gray = gray_of(x)
+    x = gray + (x - gray) * fs                      # saturation ("Color")
     return jnp.clip(x, 0, 255)
 
 

@@ -255,7 +255,7 @@ class CompiledModule:
         slips = sites = 0
         slip_detail = []
         t0 = time.time()
-        t_lvl = t_pbs = 0.0
+        t_lvl = t_pbs = t_audit = 0.0
         for op in self.circuit.ops:
             t_op = time.time()
             if isinstance(op, QuantIn):
@@ -307,6 +307,11 @@ class CompiledModule:
                                          env[op.x].hi.shape[2:]))
                 t_pbs += time.time() - t_op
                 if check_ref is not None:
+                    # the audit's decrypt/compare/realign is instrumentation,
+                    # not inference work: accumulate it separately and
+                    # subtract from execute_time so an audited run's
+                    # s/image stat matches a clean execute run
+                    t_ck = time.time()
                     got = self._decrypt_wire(env[op.out], op.out)
                     ref = np.asarray(check_ref[op.out], np.int64)
                     diff = ref - got
@@ -326,6 +331,7 @@ class CompiledModule:
                         with np.errstate(over="ignore"):
                             cts[:, -1] += diff.astype(U64) << U64(shift)
                         env[op.out] = T.from_u64(cts)
+                    t_audit += time.time() - t_ck
             elif isinstance(op, Output):
                 result = env[op.x]
             else:
@@ -334,14 +340,18 @@ class CompiledModule:
         self.stats.update({
             "pbs_per_sample": self.circuit.num_pbs,
             "pbs_executed": pbs_count,
-            "execute_time": dt,
+            # audit (check_ref) decrypt/compare time is instrumentation
+            # overhead, excluded so the end-to-end s/image stat of an
+            # audited run is comparable to a clean execute run
+            "execute_time": dt - t_audit,
             "levelled_time": t_lvl,
             "pbs_time": t_pbs,
             "pbs_per_sec": pbs_count / t_pbs if t_pbs > 0 else None,
         })
         if check_ref is not None:
             self.stats.update({"tlu_slips": slips, "tlu_sites": sites,
-                               "tlu_slip_detail": slip_detail})
+                               "tlu_slip_detail": slip_detail,
+                               "audit_time": t_audit})
         return result
 
     def _run_tlu(self, ct: T.T64, op: Tlu, drop_limbs: int | None) -> T.T64:

@@ -1,55 +1,66 @@
 """Training utilities: meters, early stopping, accuracy, LR schedule.
 
-Behavioral parity with the reference's utils.py:74-138 (AverageMeter,
-EarlyStopper with patience/threshold, top-k accuracy, step-decay LR), kept
-host-side and framework-agnostic.
+Behavioral parity with the reference's utils.py:74-138 (running accuracy
+meters, validation-loss early stopping with patience/threshold, top-k
+accuracy, step-decay LR), re-expressed host-side and framework-agnostic.
 """
-import math
+import numpy as np
 
 
 class AverageMeter:
-    """Running average (reference utils.py:74-89)."""
+    """Weighted running average over a stream of (value, weight) updates.
+
+    Same contract as the reference's loss/top-k meters (utils.py:74-89):
+    ``update(v, n)`` folds in a batch mean over ``n`` samples, ``avg`` is
+    the sample-weighted mean so far.
+    """
+
+    __slots__ = ("_total", "_weight", "last")
 
     def __init__(self):
         self.reset()
 
     def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
+        self._total = 0.0
+        self._weight = 0
+        self.last = None
 
-    def update(self, val, n=1):
-        self.val = float(val)
-        self.sum += float(val) * n
-        self.count += n
-        self.avg = self.sum / max(self.count, 1)
+    def update(self, value, n=1):
+        self.last = float(value)
+        self._total += float(value) * n
+        self._weight += n
+
+    @property
+    def avg(self):
+        return self._total / self._weight if self._weight else 0.0
 
 
 class EarlyStopper:
-    """Validation-loss early stopping (reference utils.py:92-108):
-    patience consecutive epochs worse than best + threshold -> stop."""
+    """Stop when validation loss hasn't recovered for ``patience`` epochs.
+
+    Reference semantics (utils.py:92-108): an epoch counts against the
+    streak only when it exceeds the best loss by more than ``threshold``;
+    any new best resets the streak.
+    """
 
     def __init__(self, patience=10, threshold=0.03):
         self.patience = patience
         self.threshold = threshold
-        self.counter = 0
-        self.min_validation_loss = math.inf
+        self._best = float("inf")
+        self._streak = 0
 
-    def __call__(self, validation_loss):
-        if validation_loss < self.min_validation_loss:
-            self.min_validation_loss = validation_loss
-            self.counter = 0
-        elif validation_loss > (self.min_validation_loss + self.threshold):
-            self.counter += 1
-            if self.counter >= self.patience:
-                return True
-        return False
+    def __call__(self, val_loss) -> bool:
+        if val_loss < self._best:
+            self._best = val_loss
+            self._streak = 0
+            return False
+        if val_loss > self._best + self.threshold:
+            self._streak += 1
+        return self._streak >= self.patience
 
 
 def topk_accuracy(logits, targets, ks=(1, 5)):
     """Top-k accuracy in percent (reference utils.py:111-124)."""
-    import numpy as np
     logits = np.asarray(logits)
     targets = np.asarray(targets)
     maxk = min(max(ks), logits.shape[1])
