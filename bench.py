@@ -13,12 +13,23 @@ Reference baseline: 565 s per encrypted CIFAR-10 ResNet-20 DCT image
 lowering of the same topology, so vs_baseline compares image throughput.
 
 Environment knobs:
-  BENCH_M     PBS batch size (default 2048 on TPU, 64 on CPU)
-  BENCH_MODE  'exact' (default; the reference's rounding semantics — counts
-              extraction bootstraps) or 'approximate'
+  BENCH_M       PBS batch size (default 2048 on TPU, 64 on CPU)
+  BENCH_MODE    'exact' (default; the reference's rounding semantics — counts
+                extraction bootstraps) or 'approximate'
+  BENCH_MODEL   'ResNet20qat' (default flagship, ref 565 s) or 'ResNet18qat'
+                (the reference's second CIFAR-10 DCT row, ref 1,004 s —
+                README.md:88; filter_size 8 per run_homomorphic_eval.sh)
+  BENCH_PRESET  override the main lattice preset by message_bits (e.g. 7
+                selects the N=4096 engine) instead of the smallest preset
+                that fits the circuit's TLU precision
 All throughput knobs (limb drops, cross skip, truncated KSKs) come from the
 circuit noise audit at the reference's p_error = 0.01 — the same knobs
 run_encrypted uses under drop_policy='audit'.
+
+Besides the headline (fused-residual default), the bench also prices the
+requant-literal circuit (the reference's Brevitas graph with every residual
+requant TLU, models/backbone.py:94-104) at the same measured rates, so the
+apples-to-apples number vs Concrete's graph is always on record.
 """
 import json
 import os
@@ -29,7 +40,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_LATENCY_S = 565.0  # reference README.md:84
+# reference README.md:84 (ResNet-20 DCT) and :88 (ResNet-18 DCT)
+REF_LATENCY = {"ResNet20qat": 565.0, "ResNet18qat": 1004.0}
 
 
 def circuit_pbs_totals(circ, audit=None):
@@ -58,7 +70,10 @@ def circuit_pbs_totals(circ, audit=None):
     return by_knob, aux
 
 
-def build_circuit():
+def build_circuits(model: str = "ResNet20qat"):
+    """(fused circuit, requant circuit) for the given model's CIFAR-10 DCT
+    24x16^2 config (ResNet-20 at filter_size 4, ResNet-18 at 8 — the
+    reference's per-model presets, run_homomorphic_eval.sh:17-26)."""
     import jax
     import jax.numpy as jnp
     from dct_cryptonets_tpu.data import CodecConfig, dct_ingest
@@ -67,11 +82,12 @@ def build_circuit():
                                            forward, init_model)
     from dct_cryptonets_tpu.fhe.compiler import lower
 
-    cfg = CodecConfig(channels=24, filter_size=4, image_size_dct=16)
-    spec = build_spec("ResNet20qat", in_channels=24, img_size=16,
+    fs = 8 if model == "ResNet18qat" else 4
+    cfg = CodecConfig(channels=24, filter_size=fs, image_size_dct=16)
+    spec = build_spec(model, in_channels=24, img_size=16,
                       num_classes=10, bit_width=4)
     params, state = init_model(jax.random.key(0), spec)
-    ds = load_synthetic(64, 64, 10, seed=0)
+    ds = load_synthetic(64, cfg.pixel_size, 10, seed=0)
     x = dct_ingest(jnp.asarray(ds.images), cfg)
     params = calibrate_scales(params, state, x, spec)
     _, _, state = forward(params, state, x, spec, train=True)
@@ -81,9 +97,11 @@ def build_circuit():
     # range_margin=1.0 is what Concrete-ML does (exact observed ranges), so
     # the latency estimate is apples-to-apples with the 565 s reference run;
     # the compiler's safer default is 2.0 (one extra bit per accumulator).
-    circ = lower(params, state, spec, rounding_threshold_bits=6,
-                 calib_data=x, range_margin=1.0)
-    return circ
+    fused = lower(params, state, spec, rounding_threshold_bits=6,
+                  calib_data=x, range_margin=1.0, residual_mode="fused")
+    requant = lower(params, state, spec, rounding_threshold_bits=6,
+                    calib_data=x, range_margin=1.0, residual_mode="requant")
+    return fused, requant
 
 
 def get_keys(params, cache_dir=".cache"):
@@ -171,20 +189,33 @@ def main():
     # M=2048 is the measured sweet spot on this chip (the old M>=2048
     # worker faults disappeared with the fused Pallas engine).
     M = int(os.environ.get("BENCH_M", 2048 if on_tpu else 64))
+    model = os.environ.get("BENCH_MODEL", "ResNet20qat")
 
-    circ = build_circuit()
+    circ, circ_req = build_circuits(model)
     max_r = max(op.spec.in_bits for op in circ.ops if isinstance(op, Tlu))
-    params = params_for_precision(max_r)
+    if os.environ.get("BENCH_PRESET"):
+        from dct_cryptonets_tpu.fhe.params import _PRESETS
+        params = _PRESETS[int(os.environ["BENCH_PRESET"])]
+        assert params.message_bits >= max_r, (params, max_r)
+    else:
+        params = params_for_precision(max_r)
     cfg = default_exact_rounding(params)
     # the audit picks the per-layer (drop, cross) knobs under the p_error
     # contract — the same knobs run_encrypted uses under drop_policy="audit"
     audit = audit_circuit(circ, params, p_error=0.01, exact_cfg=cfg)
+    audit_req = audit_circuit(circ_req, params, p_error=0.01, exact_cfg=cfg)
     by_knob, num_aux = circuit_pbs_totals(circ, audit)
+    by_knob_req, num_aux_req = circuit_pbs_totals(circ_req, audit_req)
     num_pbs = sum(by_knob.values())
-    print(f"# circuit: {num_pbs} PBS/image at knobs {sorted(by_knob.items())}"
+    print(f"# {model} circuit: {num_pbs} PBS/image at knobs "
+          f"{sorted(by_knob.items())}"
           f" + {num_aux} exact-rounding extractions, max TLU bits {max_r}, "
           f"max acc bits {circ.max_bit_width()}, "
           f"audited p_error {audit.max_p_error:.2e}", file=sys.stderr)
+    print(f"# requant-literal circuit: {sum(by_knob_req.values())} PBS/image"
+          f" at knobs {sorted(by_knob_req.items())} + {num_aux_req} "
+          f"extractions, audited p_error {audit_req.max_p_error:.2e}",
+          file=sys.stderr)
     print(f"# params: n={params.lwe_dim} N={params.poly_size} "
           f"l={params.pbs_levels} B=2^{params.pbs_base_log}; M={M}; "
           f"aux n={cfg.aux.lwe_dim} k={cfg.aux.glwe_dim} "
@@ -206,7 +237,7 @@ def main():
 
     iters = 3 if on_tpu else 1
     rates = {}
-    for knob in sorted(by_knob):
+    for knob in sorted(set(by_knob) | set(by_knob_req)):
         drop, cross = knob
 
         def run(c, drop=drop, cross=cross):
@@ -220,8 +251,8 @@ def main():
               file=sys.stderr)
 
     mode = os.environ.get("BENCH_MODE", "exact")
-    aux_s = 0.0
-    if mode == "exact" and num_aux:
+    aux_rate = None
+    if mode == "exact" and (num_aux or num_aux_req):
         dak = get_aux_keys(ck, cfg)
         shift = 4   # representative per-TLU extraction depth (flagship avg)
         # the extraction lattice's measured batch sweet spot is 2x the main
@@ -239,22 +270,30 @@ def main():
                                   back_ks_drop=audit.aux_back_ks_drop)
         c_s, dt = timed_chain(run_aux, cta, iters)
         aux_rate = Ma * shift / dt
-        aux_s = num_aux / aux_rate
         print(f"# aux: compile {c_s:.1f}s, {dt:.2f}s per {Ma}x{shift} "
               f"extraction batch -> {aux_rate:.1f} extractions/s",
               file=sys.stderr)
 
-    # honest image-latency estimate from MEASURED rates, reference-default
+    # honest image-latency estimates from MEASURED rates, reference-default
     # (EXACT) rounding: per-layer audited-knob main bootstraps + the aux
     # extraction bootstraps, all as executed by run_encrypted under the
-    # audit policy.
-    main_s = sum(sites / rates[knob] for knob, sites in by_knob.items())
-    est_latency = main_s + aux_s
+    # audit policy.  Priced for BOTH circuits: the fused default and the
+    # requant-literal graph (the apples-to-apples Concrete counterpart).
+    ref_s = REF_LATENCY[model]
+
+    def estimate(label, knobs, aux_count):
+        main_s = sum(sites / rates[knob] for knob, sites in knobs.items())
+        aux_s = aux_count / aux_rate if (aux_rate and aux_count) else 0.0
+        est = main_s + aux_s
+        print(f"# {mode}-rounding {label} image estimate: main {main_s:.1f}s"
+              f" + extractions {aux_s:.1f}s = {est:.1f}s "
+              f"(ref {ref_s}s exact)", file=sys.stderr)
+        return main_s, est
+
+    main_s, est_latency = estimate("fused", by_knob, num_aux)
+    estimate("requant-literal", by_knob_req, num_aux_req)
     rate = num_pbs / main_s
-    vs = REF_LATENCY_S / est_latency
-    print(f"# {mode}-rounding image estimate: main {main_s:.1f}s + "
-          f"extractions {aux_s:.1f}s = {est_latency:.1f}s "
-          f"(ref {REF_LATENCY_S}s exact)", file=sys.stderr)
+    vs = ref_s / est_latency
     print(json.dumps({"metric": "pbs_per_sec", "value": round(rate, 2),
                       "unit": "PBS/s", "vs_baseline": round(vs, 3)}))
 

@@ -98,6 +98,14 @@ def parse_args(script: str, argv=None):
                             "(exact observed ranges), 2.0 spends one "
                             "extra bit per accumulator against phase "
                             "wrap on out-of-calibration data")
+        h.add_argument("--slip_audit", action="store_true",
+                       help="execute mode only: decrypt every TLU output "
+                            "and compare against the clear simulator — "
+                            "reports the REALIZED per-TLU slip count vs "
+                            "the audited p_error (slipped values are "
+                            "re-aligned so each TLU measures its own slip "
+                            "rate); needs client keys, debug/validation "
+                            "instrumentation")
         h.add_argument("--sweep_state", default=None, metavar="PATH",
                        help="JSONL checkpoint for long execute sweeps: "
                             "per-batch results persist here and a re-run "

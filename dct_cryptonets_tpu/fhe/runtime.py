@@ -487,7 +487,7 @@ class CompiledModule:
     # -- the reference-style entry point ----------------------------------
     def forward(self, x: np.ndarray, fhe: str = "simulate",
                 drop_limbs: int | None = None, mesh=None,
-                enc_rng=None) -> np.ndarray:
+                enc_rng=None, check_ref: bool = False) -> np.ndarray:
         """x: float input batch (B, H, W, C) -> float features (B, F).
 
         fhe='simulate': bit-exact integer simulation (fast, clear).
@@ -497,6 +497,9 @@ class CompiledModule:
         enc_rng: optional :class:`~.keys.Csprng` for the encryption masks
         (default fresh OS entropy; pass a seeded one for the deterministic
         same-seed -> same-ciphertext contract).
+        check_ref (execute only): run the clear simulator alongside and
+        decrypt-compare every TLU output — the realized-slip audit
+        (``run_encrypted(check_ref=...)``); results in ``stats``.
         """
         if fhe == "simulate":
             return np.asarray(simulate(self.circuit, jnp.asarray(x)))
@@ -512,11 +515,16 @@ class CompiledModule:
                 if n % m:
                     x = np.concatenate(
                         [x, np.repeat(x[-1:], m - n % m, axis=0)], axis=0)
+            env_ref = None
+            if check_ref:
+                _, env_ref = simulate(self.circuit, jnp.asarray(x),
+                                      return_env=True)
+                env_ref = {k: np.asarray(v) for k, v in env_ref.items()}
             ct = self.encrypt(x, rng=enc_rng)
             if mesh is not None:
                 from ..parallel.mesh import shard_batch
                 ct = T.T64(*shard_batch(mesh, list(ct)))
-            out = self.run_encrypted(ct, drop_limbs)
+            out = self.run_encrypted(ct, drop_limbs, check_ref=env_ref)
             return self.decrypt_feats(out)[:n]
         raise ValueError(f"unknown fhe mode {fhe!r}")
 

@@ -52,7 +52,7 @@ def test_unencrypted(params, state, spec, ingest, ds, idx, batch):
 
 
 def test_encrypted(module, clf_w, clf_b, ingest, ds, idx, batch, fhe_mode,
-                   drop_limbs=0, mesh=None, resume=None):
+                   drop_limbs=0, mesh=None, resume=None, check_ref=False):
     """Encrypted-trunk + clear-classifier eval (reference
     homomorphic_eval.py:60-86).
 
@@ -61,6 +61,8 @@ def test_encrypted(module, clf_w, clf_b, ingest, ds, idx, batch, fhe_mode,
     ``resume``: optional :class:`SweepState` — per-batch results persist to
     disk so a multi-hour execute sweep survives interruption (SURVEY §5
     failure recovery; absent in the reference, which restarts from zero).
+    ``check_ref``: realized-slip audit (``--slip_audit``) — per-TLU
+    decrypt-compare against the simulator, results in ``module.stats``.
     """
     top1, top5 = AverageMeter(), AverageMeter()
     for bi, (images, labels) in enumerate(pipeline.batches(
@@ -72,7 +74,7 @@ def test_encrypted(module, clf_w, clf_b, ingest, ds, idx, batch, fhe_mode,
             continue
         x = np.asarray(ingest(images))
         feats = module.forward(x, fhe=fhe_mode, drop_limbs=drop_limbs,
-                               mesh=mesh)
+                               mesh=mesh, check_ref=check_ref)
         logits = feats @ clf_w + clf_b
         p1, p5 = topk_accuracy(logits, labels)
         top1.update(p1, len(labels))
@@ -284,16 +286,23 @@ def main_impl(cfg):
           f"on a subset of {len(test_idx)} images...")
     e1, e5 = test_encrypted(module, clf_w, clf_b, ingest, testset,
                             test_idx, cfg.test_batch_size, cfg.fhe_mode,
-                            cfg.drop_limbs, mesh=mesh, resume=resume)
+                            cfg.drop_limbs, mesh=mesh, resume=resume,
+                            check_ref=getattr(cfg, "slip_audit", False))
     dt = (time.time() - t) / max(len(test_idx), 1)
     print(f"[Test] Top-1 Acc: {e1.avg:.3f}% | Top-5 Acc: {e5.avg:.3f}% | "
           f"Time per inference in FHE: {dt:.2f}")
     if cfg.fhe_mode == "execute" and module.stats.get("pbs_per_sec"):
         s = module.stats
-        print(f"[Stats] levelled {s['levelled_time']:.1f}s | PBS "
+        print(f"[Stats] execute {s['execute_time']:.1f}s | levelled "
+              f"{s['levelled_time']:.1f}s | PBS "
               f"{s['pbs_time']:.1f}s ({s['pbs_per_sec']:.1f} PBS/s, "
               f"{s.get('aux_pbs_executed', 0)} extraction bootstraps) | "
               f"keygen {s.get('keygen_time', 0):.1f}s")
+        if "tlu_slips" in s:
+            print(f"[Slip audit] {s['tlu_slips']} realized TLU slips / "
+                  f"{s['tlu_sites']} TLU sites (audited per-PBS p_error "
+                  f"<= {module.p_error}); audit overhead "
+                  f"{s.get('audit_time', 0):.1f}s (excluded from execute)")
 
     # reliability sweep (reference homomorphic_eval.py:366-440)
     if cfg.reliability_test and cfg.fhe_mode == "simulate":
