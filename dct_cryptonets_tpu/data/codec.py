@@ -262,18 +262,12 @@ def dct_from_pixels(cropped: jax.Array, cfg: CodecConfig) -> jax.Array:
     return (agg - jnp.asarray(mean)) / jnp.asarray(std)
 
 
-@partial(jax.jit, static_argnums=1)
-def dct_ingest(images_u8: jax.Array, cfg: CodecConfig) -> jax.Array:
-    """Eval-path ingest: Resize(1.15 P) -> CenterCrop(P) -> DCT pipeline.
-
-    Mirrors the aug=False composed transform (reference datamgr.py:193-220).
-    ``images_u8``: uint8 RGB, (B, H, W, 3).  Returns float32 (B, S, S, C).
-    """
-    P = cfg.pixel_size
+def _eval_resize_crop(images_u8: jax.Array, P: int) -> jax.Array:
+    """Resize(1.15 P, shorter edge) -> CenterCrop(P), the aug=False pixel
+    prologue (reference datamgr.py:193-220, cvfunctional.py:204-239) with
+    cv2's exact fixed-point 8U bilinear."""
     rs = int(P * 1.15)
     H, W = images_u8.shape[-3], images_u8.shape[-2]
-    # shorter-edge Resize(int) semantics (reference cvfunctional.py:204-239)
-    # with cv2's exact fixed-point 8U bilinear
     if not ((W <= H and W == rs) or (H <= W and H == rs)):
         if W < H:
             oh, ow = int(rs * H / W), rs
@@ -282,8 +276,115 @@ def dct_ingest(images_u8: jax.Array, cfg: CodecConfig) -> jax.Array:
         planes = jnp.moveaxis(images_u8, -1, -3)       # (..., 3, H, W)
         planes = resize_linear_u8_cv(planes, oh, ow)
         images_u8 = jnp.moveaxis(planes, -3, -1)
-    x = center_crop(images_u8, P)
+    return center_crop(images_u8, P)
+
+
+@partial(jax.jit, static_argnums=1)
+def dct_ingest(images_u8: jax.Array, cfg: CodecConfig) -> jax.Array:
+    """Eval-path ingest: Resize(1.15 P) -> CenterCrop(P) -> DCT pipeline.
+
+    Mirrors the aug=False composed transform (reference datamgr.py:193-220).
+    ``images_u8``: uint8 RGB, (B, H, W, 3).  Returns float32 (B, S, S, C).
+    """
+    x = _eval_resize_crop(images_u8, cfg.pixel_size)
     return dct_from_pixels(x, cfg)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def dct_ingest_sharded(images_u8: jax.Array, cfg: CodecConfig, mesh,
+                       axis_name: str = "data") -> jax.Array:
+    """DCT-tile-parallel eval ingest — SURVEY §2.3's sequence-parallel
+    analog for this workload.
+
+    The S_f x S_f block grid of the batch (all images' tiles flattened, so
+    a SINGLE 224^2 image's 28x28 Y-block grid spreads across the mesh —
+    the B=1 encrypted-eval case where plain batch DP has nothing to shard)
+    is sharded across ``mesh``; each device computes the forward DCTs of
+    its tile shard and selects the static low-frequency channel subset,
+    and ONLY the selected channels are all-gathered over ICI
+    (``channels``/192 of the full coefficient volume — e.g. 1/3 for the
+    ImageNet 64-channel config, reference cvtransforms.py:1600-1912).  The
+    elementwise pixel prologue (resize/crop, color conversion, chroma
+    downsample) and the small upscale/normalize epilogue stay replicated:
+    the per-tile DCT transforms carry the FLOPs and are what shards.
+
+    Bit-exact vs :func:`dct_ingest` (tests/test_dct_tile_sharding.py):
+    the fs=8 path is pure integer arithmetic; the fs!=8 path runs the
+    identical per-tile einsum, and channel subsetting commutes exactly
+    with the per-channel upscale.
+    """
+    from jax.sharding import PartitionSpec as Spec
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:                              # older JAX
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    S = cfg.image_size_dct
+    S_f = cfg.filter_size
+    y_idx, cb_idx, cr_idx = cfg.subset()
+
+    x = _eval_resize_crop(images_u8, cfg.pixel_size)
+    if S_f == 8:
+        from ..ops.jpegdct import (fdct_islow_q100_tiles, h2v2_downsample,
+                                   rgb_to_ycbcr_libjpeg)
+        y, cb, cr = rgb_to_ycbcr_libjpeg(x)
+        cb = h2v2_downsample(cb)
+        cr = h2v2_downsample(cr)
+
+        def tile_fn(tiles):
+            return fdct_islow_q100_tiles(tiles)
+
+        def post(c):
+            return _upscale_coeffs_i16(c, S)
+    else:
+        ycc = rgb_to_ycrcb_cv(x)
+        y = ycc[..., 0]
+        hh, hw = x.shape[-3] // 2, x.shape[-2] // 2
+        cb = resize_linear_u8_cv(ycc[..., 1], hh, hw)
+        cr = resize_linear_u8_cv(ycc[..., 2], hh, hw)
+
+        def tile_fn(tiles):
+            c = blockwise_dct2(tiles, S_f)           # (T, 1, 1, S_f^2)
+            return c.reshape(c.shape[0], S_f * S_f)
+
+        def post(c):
+            if c.shape[-3] != S or c.shape[-2] != S:
+                c = resize_bilinear(c, S, S)
+            return c
+
+    def component(plane, idx):
+        B, H, W = plane.shape
+        nh, nw = H // S_f, W // S_f
+        tiles = plane.reshape(B, nh, S_f, nw, S_f)
+        tiles = jnp.moveaxis(tiles, -3, -2).reshape(B * nh * nw, S_f, S_f)
+        t = tiles.shape[0]
+        pad = (-t) % n_dev
+        if pad:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad, S_f, S_f), tiles.dtype)], axis=0)
+        idx_a = jnp.asarray(idx)
+
+        def local(tl):
+            c = tile_fn(tl)[:, idx_a]
+            # the one collective: selected low-freq channels over ICI
+            return jax.lax.all_gather(c, axis_name, axis=0, tiled=True)
+
+        try:
+            # check_vma=False: the all_gather output is replicated by
+            # construction, which the static VMA check cannot infer
+            smapped = _shard_map(local, mesh=mesh, in_specs=Spec(axis_name),
+                                 out_specs=Spec(), check_vma=False)
+        except TypeError:                            # older JAX: check_rep
+            smapped = _shard_map(local, mesh=mesh, in_specs=Spec(axis_name),
+                                 out_specs=Spec(), check_rep=False)
+        out = smapped(tiles)
+        return post(out[:t].reshape(B, nh, nw, len(idx)))
+
+    agg = jnp.concatenate([component(y, y_idx), component(cb, cb_idx),
+                           component(cr, cr_idx)], axis=-1)
+    mean, std = cfg.stats()
+    return (agg - jnp.asarray(mean)) / jnp.asarray(std)
 
 
 # ---------------------------------------------------------------------------

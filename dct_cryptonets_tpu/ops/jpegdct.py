@@ -141,6 +141,25 @@ def _fdct_pass(d, first: bool):
     return jnp.stack([o0, o1, o2, o3, o4, o5, o6, o7], axis=-1)
 
 
+def fdct_islow_q100_tiles(blocks: jax.Array) -> jax.Array:
+    """(..., 8, 8) int32 pixel tiles -> (..., 64) q100 coefficients.
+
+    The per-tile core of :func:`fdct_islow_q100`; also the unit the
+    DCT-tile-parallel ingest shards across the mesh (codec.py
+    ``dct_ingest_sharded``) — pure integer ops, so sharded == unsharded
+    bit-exactly.
+    """
+    d = blocks.astype(I32) - 128                   # level shift
+    d = _fdct_pass(d, first=True)                  # along columns-of-row
+    d = jnp.swapaxes(d, -1, -2)
+    d = _fdct_pass(d, first=False)                 # along rows
+    d = jnp.swapaxes(d, -1, -2)                    # (..., u, v)
+    # divide by 8, round half away from zero (jcdctmgr.c non-float quantize)
+    mag = (jnp.abs(d) + 4) >> 3
+    q = jnp.sign(d) * mag
+    return q.reshape(*q.shape[:-2], 64)
+
+
 def fdct_islow_q100(plane: jax.Array) -> jax.Array:
     """(..., H, W) int32 pixel plane -> (..., H/8, W/8, 64) q100 coefficients.
 
@@ -151,15 +170,7 @@ def fdct_islow_q100(plane: jax.Array) -> jax.Array:
     *lead, h, w = plane.shape
     blocks = plane.astype(I32).reshape(*lead, h // 8, 8, w // 8, 8)
     blocks = jnp.moveaxis(blocks, -3, -2)          # (..., nh, nw, 8row, 8col)
-    d = blocks - 128                               # level shift
-    d = _fdct_pass(d, first=True)                  # along columns-of-row
-    d = jnp.swapaxes(d, -1, -2)
-    d = _fdct_pass(d, first=False)                 # along rows
-    d = jnp.swapaxes(d, -1, -2)                    # (..., nh, nw, u, v)
-    # divide by 8, round half away from zero (jcdctmgr.c non-float quantize)
-    mag = (jnp.abs(d) + 4) >> 3
-    q = jnp.sign(d) * mag
-    return q.reshape(*lead, h // 8, w // 8, 64)
+    return fdct_islow_q100_tiles(blocks)
 
 
 def jpeg_q100_coefficients(rgb_u8: jax.Array) -> tuple:
