@@ -72,8 +72,11 @@ def circuit_pbs_totals(circ, audit=None):
 
 def build_circuits(model: str = "ResNet20qat"):
     """(fused circuit, requant circuit) for the given model's CIFAR-10 DCT
-    24x16^2 config (ResNet-20 at filter_size 4, ResNet-18 at 8 — the
-    reference's per-model presets, run_homomorphic_eval.sh:17-26)."""
+    config, per the reference launcher presets (run_homomorphic_eval.sh):
+    ResNet-20 = 24 ch / filter 4 / 16^2; ResNet-18 = 6 ch / filter 8 /
+    32^2 (the README.md:88 row prints "(24, 16, 16)" but the shipped
+    launcher preset — and the only buildable '64_*_*' topology entry for
+    CIFAR ResNet-18 — is channels=6, filter_size=8, image_size 32)."""
     import jax
     import jax.numpy as jnp
     from dct_cryptonets_tpu.data import CodecConfig, dct_ingest
@@ -82,9 +85,12 @@ def build_circuits(model: str = "ResNet20qat"):
                                            forward, init_model)
     from dct_cryptonets_tpu.fhe.compiler import lower
 
-    fs = 8 if model == "ResNet18qat" else 4
-    cfg = CodecConfig(channels=24, filter_size=fs, image_size_dct=16)
-    spec = build_spec(model, in_channels=24, img_size=16,
+    if model == "ResNet18qat":
+        cfg = CodecConfig(channels=6, filter_size=8, image_size_dct=32)
+    else:
+        cfg = CodecConfig(channels=24, filter_size=4, image_size_dct=16)
+    spec = build_spec(model, in_channels=cfg.channels,
+                      img_size=cfg.image_size_dct,
                       num_classes=10, bit_width=4)
     params, state = init_model(jax.random.key(0), spec)
     ds = load_synthetic(64, cfg.pixel_size, 10, seed=0)
@@ -253,7 +259,9 @@ def main():
     mode = os.environ.get("BENCH_MODE", "exact")
     aux_rate = None
     if mode == "exact" and (num_aux or num_aux_req):
-        dak = get_aux_keys(ck, cfg)
+        from dct_cryptonets_tpu.fhe.pbs import with_precomputed_strips
+        dak = with_precomputed_strips(get_aux_keys(ck, cfg), cfg.aux,
+                                      audit.aux_drop_limbs)
         shift = 4   # representative per-TLU extraction depth (flagship avg)
         # the extraction lattice's measured batch sweet spot is 2x the main
         # lattice's (runtime aux_batch vs pbs_batch)

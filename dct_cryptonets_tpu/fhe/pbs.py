@@ -419,6 +419,34 @@ def _bigd_rows(bsk_bytes_i: jax.Array, k: int, levels: int, N: int,
     return jnp.transpose(kept, (1, 3, 0, 2)).reshape(k + 1, L * rows, 2 * N)
 
 
+def precompute_bigd_strips(bsk_bytes: jax.Array, k: int, levels: int,
+                           N: int, drop_limbs: int) -> jax.Array:
+    """All n CMUX steps' Toeplitz strip tables, built once.
+
+    The fused engine otherwise rebuilds the (k+1, C, 128, 2N-128) strip
+    table of every step inside every blind rotate's scan — pure VPU roll
+    work repeated for every PBS batch.  For small lattices (the extraction
+    presets: N<=512) the full table for all n steps fits HBM
+    (n * (k+1) * C * 128 * (2N-128) int8 ≈ 5.3 GB for k2n512f at drop=3),
+    so it is built ONCE at key load and the scan streams it back instead —
+    strip-build cost amortizes to zero across the ~10^6 extractions of an
+    image.  (The main N=2048 lattice's table would be ~19 GB — larger than
+    HBM — so the main path keeps per-step building.)
+
+    bsk_bytes: (n, rows, k+1, 2N, 8) int8.  Returns
+    (n, k+1, L*rows, 128, 2N-128) int8, L = 8 - drop_limbs.
+    """
+    from .pallas_kernels import build_bigd_strips
+    n = bsk_bytes.shape[0]
+    rows = (k + 1) * levels
+    L = 8 - drop_limbs
+    kept = bsk_bytes[..., drop_limbs:]               # (n, rows, k+1, 2N, L)
+    dbl = jnp.transpose(kept, (0, 2, 4, 1, 3)).reshape(
+        n * (k + 1), L * rows, 2 * N)
+    strips = build_bigd_strips(dbl)                  # (n*(k+1), C, 128, .)
+    return strips.reshape(n, k + 1, L * rows, 128, 2 * N - 128)
+
+
 def external_product_step(diff: T.T64, bsk_kern: jax.Array,
                           params_tuple, drop_limbs: int, cross: int = 0):
     """One external product: GGSW_i x (M, k+1, N) GLWE -> (M, k+1, N) GLWE.
@@ -503,6 +531,22 @@ def cmux_accumulate_pallas(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
     return T.T64(nhi, nlo)
 
 
+# Fused-engine tile knobs, measured on-chip (PERFORMANCE.md).  Small-N
+# lattices (the extraction presets) fit 8x the sample block in VMEM;
+# bigger blocks amortize per-cell fixed costs (grid dispatch, bucket
+# flushes) that dominate when the per-cell matmul is small.  Module-level
+# so tools/tune_fused.py can sweep them (mutate + jax.clear_caches()).
+FUSED_KNOBS = {
+    # N-range key: (rotate_decompose block, fused_external block, gc)
+    "small": (128, 1024, 2),     # N <= 512 (extraction lattices)
+    "main": (64, 256, 1),        # N > 512 (message lattices)
+}
+
+
+def _fused_knobs(N: int):
+    return FUSED_KNOBS["small" if N <= 512 else "main"]
+
+
 def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
                           params_tuple, drop_limbs: int,
                           cross: int = 0) -> T.T64:
@@ -518,18 +562,11 @@ def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,
     (blog, levels, k, N) = params_tuple
     dbytes = _digit_bytes_count(blog)
     assert dbytes == 2, "fused CMUX kernels assume 2-byte gadget digits"
-    # block_m=64 keeps the doubled-negated rotation buffers inside VMEM
-    # (the rotate stage is VPU work — block size doesn't affect the MXU)
+    rd_block, block_m, gc = _fused_knobs(N)
+    # small rotate blocks keep the doubled-negated rotation buffers inside
+    # VMEM (the rotate stage is VPU work — block size doesn't hit the MXU)
     dB = rotate_decompose(acc.hi, acc.lo, a_i, blog, levels, dbytes,
-                          block_m=64 if N > 512 else 128, plane_major=True)
-    # small-N lattices (the extraction presets) fit 8x the sample block in
-    # VMEM; bigger blocks amortize per-cell fixed costs (grid dispatch,
-    # bucket flushes) that dominate when the per-cell matmul is small
-    # measured on-chip (PERFORMANCE.md): N<=512 extraction lattices peak
-    # at block_m=1024 with 2 combos per cell (VMEM ~14 MB); the N=2048
-    # main lattice at block 256 ungrouped
-    block_m = 1024 if N <= 512 else 256
-    gc = 2 if N <= 512 else 1
+                          block_m=rd_block, plane_major=True)
     nhi, nlo = fused_external(dB[0], dB[1], bigd_i, acc.hi, acc.lo,
                               drop_limbs, cross, block_m=block_m,
                               combos_per_cell=gc)
@@ -549,7 +586,8 @@ def mod_switch(ct_t64: T.T64, N: int) -> jax.Array:
 def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
                  bsk_bytes: jax.Array, params: TFHEParams,
                  drop_limbs: int = 0, cross: int = 0,
-                 engine: str | None = None) -> T.T64:
+                 engine: str | None = None,
+                 bigd_all: jax.Array | None = None) -> T.T64:
     """Batched blind rotate.
 
     test_poly: (M, N) T64 — per-sample lookup polynomials
@@ -560,6 +598,10 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
     engine: 'fused' (Pallas Toeplitz-strip matmuls, default on TPU),
             's2d' (Pallas elementwise stages + XLA space-to-depth convs),
             'conv' (pure XLA, default on CPU).  All bit-identical.
+    bigd_all: optional precomputed strip table from
+           :func:`precompute_bigd_strips` (fused engine only; must have
+           been built at the same ``drop_limbs``) — the scan streams it
+           instead of rebuilding each step's strips.
     Returns GLWE accumulators (M, k+1, N) T64 whose constant phase
     coefficient is test_poly evaluated at the encrypted index.
     """
@@ -584,7 +626,7 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
         # sweep must cover M exactly (Mosaic rejects partial manual DMAs).
         # Pad odd batch sizes (e.g. a pbs_batch remainder chunk) with zero
         # ciphertexts and slice the results back off.
-        bm = 1024 if N <= 512 else 256               # cmux block_m choice
+        bm = _fused_knobs(N)[1]                      # cmux block_m choice
         Mp = M + (-M) % (8 if M <= bm else bm)
         if Mp != M:
             zpad = ((0, Mp - M), (0, 0))
@@ -599,16 +641,30 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
 
         from .pallas_kernels import build_bigd_strips
 
-        def step(carry, inputs):
-            a_col, bsk_i = inputs
-            dbl = _bigd_rows(bsk_i, k, params.pbs_levels, N, drop_limbs)
-            bigd = build_bigd_strips(dbl)
-            new = cmux_accumulate_fused(carry, a_col, bigd, pt, drop_limbs,
-                                        cross)
-            return new, None
-
         a_cols = jnp.transpose(ct_a, (1, 0))         # (n, Mp)
-        acc, _ = jax.lax.scan(step, acc, (a_cols, bsk_bytes))
+        if bigd_all is not None:
+            rows = (k + 1) * params.pbs_levels
+            assert bigd_all.shape[2] == (8 - drop_limbs) * rows, (
+                "precomputed strip table was built at a different "
+                "drop_limbs", bigd_all.shape, drop_limbs)
+
+            def step_pre(carry, inputs):
+                a_col, bigd = inputs
+                new = cmux_accumulate_fused(carry, a_col, bigd, pt,
+                                            drop_limbs, cross)
+                return new, None
+
+            acc, _ = jax.lax.scan(step_pre, acc, (a_cols, bigd_all))
+        else:
+            def step(carry, inputs):
+                a_col, bsk_i = inputs
+                dbl = _bigd_rows(bsk_i, k, params.pbs_levels, N, drop_limbs)
+                bigd = build_bigd_strips(dbl)
+                new = cmux_accumulate_fused(carry, a_col, bigd, pt,
+                                            drop_limbs, cross)
+                return new, None
+
+            acc, _ = jax.lax.scan(step, acc, (a_cols, bsk_bytes))
         return T.T64(jnp.transpose(acc.hi, (1, 0, 2))[:M],
                      jnp.transpose(acc.lo, (1, 0, 2))[:M])
     cmux = cmux_accumulate_pallas if engine == "s2d" else cmux_accumulate
@@ -787,6 +843,25 @@ class DeviceAuxKeys(NamedTuple):
     bsk_bytes: jax.Array       # (n_aux, (k+1)l, k+1, 2N_aux, 8) int8
     ksk_fwd_bytes: jax.Array   # (kN_main * l_ks_aux, n_aux + 1, 8) int8
     ksk_back_bytes: jax.Array  # (kN_aux * back_levels, kN_main + 1, 8) int8
+    # optional precomputed Toeplitz strip table for the fused engine
+    # (precompute_bigd_strips at the audit's aux drop): (n_aux, k+1,
+    # L*rows, 128, 2N-128) int8 — ~GBs, HBM-resident, built once
+    bigd_bytes: jax.Array | None = None
+
+
+def with_precomputed_strips(aux_keys: DeviceAuxKeys, aux_params: TFHEParams,
+                            drop_limbs: int) -> DeviceAuxKeys:
+    """Attach the precomputed strip table when the fused engine will run.
+
+    No-op on CPU (conv engine) and for lattices whose table would not fit
+    HBM (N > 512; the main lattice keeps per-step strip building).
+    """
+    if jax.default_backend() == "cpu" or aux_params.poly_size > 512:
+        return aux_keys
+    bigd = precompute_bigd_strips(
+        aux_keys.bsk_bytes, aux_params.glwe_dim, aux_params.pbs_levels,
+        aux_params.poly_size, drop_limbs)
+    return aux_keys._replace(bigd_bytes=bigd)
 
 
 def preprocess_aux_keys(ak) -> DeviceAuxKeys:
@@ -858,7 +933,8 @@ def clear_low_bits(ct: T.T64, aux_keys: DeviceAuxKeys,
             jnp.ones((M, N_aux), jnp.int32), h_log2))
         acc = blind_rotate(neg_h, ms[:, :n_aux], ms[:, n_aux],
                            aux_keys.bsk_bytes, aux_params, drop_limbs,
-                           cross, engine=engine)
+                           cross, engine=engine,
+                           bigd_all=aux_keys.bigd_bytes)
         bit_big = sample_extract(acc, aux_params)     # aux big key
         hb = T.add(T.T64(bit_big.hi[:, -1:], bit_big.lo[:, -1:]),
                    T.from_i32_shifted(jnp.ones((M, 1), jnp.int32), h_log2))

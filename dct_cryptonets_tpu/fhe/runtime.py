@@ -164,6 +164,12 @@ class CompiledModule:
                     self.aux_back_ks_drop = audit.aux_back_ks_drop
                 else:
                     self.aux_drop_limbs = 0
+            # precompute the extraction lattice's Toeplitz strip table once
+            # (fused engine; no-op on CPU) — amortizes the per-step strip
+            # build across every blind rotate of the run
+            from .pbs import with_precomputed_strips
+            self.aux_keys = with_precomputed_strips(
+                self.aux_keys, self.exact_cfg.aux, self.aux_drop_limbs)
         self.stats["keygen_time"] = time.time() - t
 
     # -- client side ------------------------------------------------------

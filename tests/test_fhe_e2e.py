@@ -162,6 +162,43 @@ def test_realized_slip_audit_zero_under_bit_exact_contract(tiny_model):
     assert all(n == 0 for _, n, _ in module.stats["tlu_slip_detail"])
 
 
+@pytest.mark.slow
+def test_fs8_ingest_execute_matches_simulate():
+    """ResNet-18-style fs=8 evidence: real libjpeg-path DCT ingest (the
+    ResNet-18 codec config, 6 channels at filter 8) feeding a
+    '64_6_32'-shaped stem (1x1 conv, no relu1) + residual block, compiled
+    and EXECUTED == simulated bit-exactly (reference README.md:88 row;
+    topology per run_homomorphic_eval.sh's ResNet-18 CIFAR preset)."""
+    from dct_cryptonets_tpu.data.codec import CodecConfig, dct_ingest
+    from dct_cryptonets_tpu.models import calibrate_scales
+
+    cfg = CodecConfig(channels=6, filter_size=8, image_size_dct=4)
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.integers(0, 256, (8, 40, 40, 3), np.uint8))
+    x = np.asarray(dct_ingest(imgs, cfg))
+    assert x.shape == (8, 4, 4, 6)
+
+    # stem mirrors the reference's '64_6_32' entry (1x1/s1/p0 conv, no
+    # relu1) at test width; one residual block behind it
+    spec = ModelSpec(name="fs8stemqat", block_counts=(1,), widths=(8,),
+                     in_channels=6, img_size=4, num_classes=4, bit_width=3,
+                     quantized=True,
+                     stem_override=StemSpec(1, 1, 0, None, None, 4,
+                                            relu1=False))
+    params, state = init_model(jax.random.key(8), spec)
+    for _ in range(2):
+        _, _, state = forward(params, state, jnp.asarray(x), spec,
+                              train=True)
+    params = calibrate_scales(params, state, jnp.asarray(x), spec)
+    module = compile_qat_model(
+        params, state, spec, n_bits=3, rounding_threshold_bits=4,
+        calib_data=x, tfhe_params=TEST_PARAMS, pbs_batch=512)
+    module.keygen(seed=9)
+    feats_sim = module.forward(x[:1], fhe="simulate")
+    feats_exe = module.forward(x[:1], fhe="execute")
+    np.testing.assert_array_equal(feats_exe, feats_sim)
+
+
 def test_balanced_bytes_roundtrip():
     rng = np.random.default_rng(11)
     x = rng.integers(0, 1 << 63, (257,), dtype=np.int64).astype(np.uint64)
