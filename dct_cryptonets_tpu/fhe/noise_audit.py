@@ -144,7 +144,8 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
                   p_error: float = 0.01,
                   rounding_method: str = "exact",
                   exact_cfg: ExactRoundingConfig | None = None,
-                  enc_noise_log2: float | None = None) -> AuditResult:
+                  enc_noise_log2: float | None = None,
+                  sigma_margin: float = 1.0) -> AuditResult:
     """Audit every TLU decision and choose safe per-layer limb drops.
 
     Returns an :class:`AuditResult`; ``result.max_p_error`` > ``p_error``
@@ -152,8 +153,17 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
     (e.g. a conv with an extreme weight norm) — the caller should raise or
     re-lower with wider parameters, mirroring Concrete's infeasibility
     errors.
+
+    ``sigma_margin``: optional extra factor on every modeled decision
+    sigma (variance x ``sigma_margin**2``) for sensitivity experiments.
+    NOTE a global margin cannot be used as a calibration lever here: the
+    r=6 flagship sits at the modeled KS+MS noise floor, so even 1.05
+    makes every layer infeasible.  The measured round-5 model-vs-realized
+    gap is instead fixed structurally — correlated extraction-injection
+    pricing in ``decision_p`` (see the comment there).
     """
     nm = NoiseModel(params)
+    sm2 = float(sigma_margin) ** 2
     var_fixed = nm.var_keyswitch() + nm.var_mod_switch()
     var_enc = 2.0 ** (2 * (enc_noise_log2 if enc_noise_log2 is not None
                            else params.glwe_noise_log2))
@@ -285,7 +295,17 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         cleared = max(shift - u, 0)
         var_in = sum(a2 * src_var(s)
                      for s, a2 in decision_sources[t.x].items())
-        var_in += cleared * bit_var(KNOB_LADDER[aux_ki])
+        # Per-bit extraction injections are priced as FULLY CORRELATED
+        # ((sum sigma)^2 = cleared^2 * var, the Cauchy-Schwarz upper
+        # bound), not independent (cleared * var).  Calibrated against the
+        # round-5 measured full-image slip audit (ROUND5.md): realized
+        # per-TLU slip rates scaled with shift exactly as the correlated
+        # law predicts (shift 5 -> 1.0x modeled, 6 -> 1.8x, 7 -> 2.6x,
+        # 9 -> 2.9x under the old independent law; the correlated law fits
+        # all four within measurement noise) — the per-bit injected
+        # errors share the same aux BSK dropped-limb pattern and back-KSK
+        # decomposition remainders, so they do not average independently.
+        var_in += (cleared ** 2) * bit_var(KNOB_LADDER[aux_ki])
         margin_w = 2.0 ** (62 - t.spec.in_bits)
         # partial clearing: the uncleared low u bits ride as a centered
         # BOUNDED offset, |junk| <= 2^(u-1)*Delta after the runtime's
@@ -296,7 +316,7 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
         # slip probability grossly as u approaches shift and kept the
         # audit from choosing deep keep_low).
         junk_bound = 2.0 ** (62 - n_in + u) if u > 0 else 0.0
-        p_w = _erfc_z(margin_w - junk_bound, var_in + var_fixed)
+        p_w = _erfc_z(margin_w - junk_bound, (var_in + var_fixed) * sm2)
         if margin_w <= junk_bound:
             p_w = 1.0
         p_x = 0.0
@@ -309,13 +329,13 @@ def audit_circuit(circ: Circuit, params: TFHEParams, *,
             # top bit is binding because its misread moves a full window.
             m_top = ((2.0 ** 62 - (2.0 ** u - 1.0) * 2.0 ** (63 - shift))
                      / 2.0 ** (n_in - shift + 1))
-            p_x = _erfc_z(m_top, var_in)
+            p_x = _erfc_z(m_top, var_in * sm2)
             # aux-side (fwd-KS + mod-switch) sign slips: margin shrinks to
             # 2^(62-u) at the lowest extracted bit — negligible at u=0,
             # the binding constraint on large u
             for lo in range(u, shift):
                 m_aux = 2.0 ** 62 - (2.0 ** u - 1.0) * 2.0 ** (62 - lo)
-                p_x += _erfc_z(m_aux, var_aux_sign)
+                p_x += _erfc_z(m_aux, var_aux_sign * sm2)
         return p_w, p_x
 
     # start SAFEST: no drops anywhere, full clearing, safest aux knob

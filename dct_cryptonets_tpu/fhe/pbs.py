@@ -539,12 +539,17 @@ def cmux_accumulate_pallas(acc: T.T64, a_i: jax.Array, bsk_kern_i: jax.Array,
 FUSED_KNOBS = {
     # N-range key: (rotate_decompose block, fused_external block, gc)
     "small": (128, 1024, 2),     # N <= 512 (extraction lattices)
-    "main": (64, 256, 1),        # N > 512 (message lattices)
+    "main": (64, 256, 1),        # 512 < N < 4096 (the N=2048 default)
+    "huge": (32, 128, 1),        # N >= 4096 (preset 7/8): halved blocks
+    #                              keep the doubled rotation buffers and
+    #                              acc/bucket tiles under the 16 MB VMEM cap
 }
 
 
 def _fused_knobs(N: int):
-    return FUSED_KNOBS["small" if N <= 512 else "main"]
+    if N <= 512:
+        return FUSED_KNOBS["small"]
+    return FUSED_KNOBS["main" if N < 4096 else "huge"]
 
 
 def cmux_accumulate_fused(acc: T.T64, a_i: jax.Array, bigd_i: jax.Array,

@@ -124,8 +124,22 @@ class SweepState:
             fh.flush()
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: an encrypted-eval run compiles tens
+    of distinct (batch-chunk, knob, shift) executables (~15-30 s each
+    in-process); caching them on disk makes reruns and sweep resumes start
+    hot.  No-op if the user already configured a cache dir."""
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
     cfg = parse_args("homomorphic_eval", argv)
+    _enable_compile_cache()
     if getattr(cfg, "profile_dir", None):
         import jax.profiler as _prof
         opts = _prof.ProfileOptions()

@@ -128,6 +128,8 @@ def load_ckpt(path):
 
 def main(argv=None):
     cfg = parse_args("train", argv)
+    from .homomorphic_eval import _enable_compile_cache
+    _enable_compile_cache()
     if getattr(cfg, "profile_dir", None):
         import jax.profiler as _prof
         opts = _prof.ProfileOptions()
