@@ -183,6 +183,8 @@ def timed_chain(run, ct, iters):
 def main():
     import jax
     import jax.numpy as jnp
+    from dct_cryptonets_tpu.homomorphic_eval import _enable_compile_cache
+    _enable_compile_cache()
     from dct_cryptonets_tpu.fhe import torus as T
     from dct_cryptonets_tpu.fhe.circuit import Tlu
     from dct_cryptonets_tpu.fhe.keys import encrypt_lwe

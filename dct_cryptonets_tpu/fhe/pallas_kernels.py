@@ -355,7 +355,10 @@ def build_bigd_strips(dbl, interpret: bool | None = None):
         interpret = jax.default_backend() == "cpu"
     J, C, twoN = dbl.shape
     N = twoN // 2
-    G = 8                                   # combos per grid cell
+    # combos per grid cell: the (G, 128, 2N-128) int8 out block plus the
+    # packed i32 roll buffers must fit scoped VMEM (16 MB); G must stay a
+    # multiple of 4 (4 byte-rows pack into one i32 lane)
+    G = 8 if twoN <= 4096 else 4
     flat = dbl.reshape(J * C, twoN)
     rows = J * C
     pad = (-rows) % G

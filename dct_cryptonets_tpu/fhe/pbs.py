@@ -540,7 +540,7 @@ FUSED_KNOBS = {
     # N-range key: (rotate_decompose block, fused_external block, gc)
     "small": (128, 1024, 2),     # N <= 512 (extraction lattices)
     "main": (64, 256, 1),        # 512 < N < 4096 (the N=2048 default)
-    "huge": (32, 128, 1),        # N >= 4096 (preset 7/8): halved blocks
+    "huge": (32, 64, 1),         # N >= 4096 (preset 7/8): quartered blocks
     #                              keep the doubled rotation buffers and
     #                              acc/bucket tiles under the 16 MB VMEM cap
 }
@@ -661,10 +661,20 @@ def blind_rotate(test_poly: T.T64, ct_a: jax.Array, ct_b: jax.Array,
 
             acc, _ = jax.lax.scan(step_pre, acc, (a_cols, bigd_all))
         else:
+            # N >= 4096: the packed Pallas strip builder's (8, 2N) input
+            # block exceeds scoped VMEM; the XLA tile/reshape builder
+            # (build_bigd) emits the identical layout without it
+            use_xla_strips = N >= 4096
+
             def step(carry, inputs):
                 a_col, bsk_i = inputs
-                dbl = _bigd_rows(bsk_i, k, params.pbs_levels, N, drop_limbs)
-                bigd = build_bigd_strips(dbl)
+                if use_xla_strips:
+                    bigd = build_bigd(bsk_i, k, params.pbs_levels, N,
+                                      drop_limbs)
+                else:
+                    dbl = _bigd_rows(bsk_i, k, params.pbs_levels, N,
+                                     drop_limbs)
+                    bigd = build_bigd_strips(dbl)
                 new = cmux_accumulate_fused(carry, a_col, bigd, pt,
                                             drop_limbs, cross)
                 return new, None
