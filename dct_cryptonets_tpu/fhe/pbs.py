@@ -865,13 +865,27 @@ class DeviceAuxKeys(NamedTuple):
 
 
 def with_precomputed_strips(aux_keys: DeviceAuxKeys, aux_params: TFHEParams,
-                            drop_limbs: int) -> DeviceAuxKeys:
+                            drop_limbs: int,
+                            max_bytes: int | None = None) -> DeviceAuxKeys:
     """Attach the precomputed strip table when the fused engine will run.
 
-    No-op on CPU (conv engine) and for lattices whose table would not fit
-    HBM (N > 512; the main lattice keeps per-step strip building).
+    No-op on CPU (conv engine), for lattices whose table would not fit
+    HBM (N > 512; the main lattice keeps per-step strip building), and —
+    by default — for tables over ~2 GiB: the measured steady-state gain
+    is only ~1.6% (tools/tune_fused.py), and a 5-6 GB table plus the
+    ciphertext working set of a full encrypted image OOMed the 16 GB
+    chip in round 5's re-measured run.  Override with ``max_bytes`` or
+    ``DCTC_STRIP_TABLE_BYTES``.
     """
+    import os
     if jax.default_backend() == "cpu" or aux_params.poly_size > 512:
+        return aux_keys
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("DCTC_STRIP_TABLE_BYTES",
+                                       2 * 1024 ** 3))
+    n, rows, k1, twoN, _ = aux_keys.bsk_bytes.shape
+    size = n * k1 * (8 - drop_limbs) * rows * 128 * (twoN - 128)
+    if size > max_bytes:
         return aux_keys
     bigd = precompute_bigd_strips(
         aux_keys.bsk_bytes, aux_params.glwe_dim, aux_params.pbs_levels,

@@ -272,12 +272,21 @@ class CompiledModule:
         if drop_limbs is None and self.drop_policy == "audit":
             self.run_audit()
         env = {}
+        # wire liveness: a (B, kN+1, H, W, C) ciphertext tensor is ~100s of
+        # MB; retaining every wire for the whole run OOMs HBM alongside the
+        # server keys.  Free each wire after its last consumer.
+        last_use: dict = {}
+        for i, op in enumerate(self.circuit.ops):
+            for attr in ("x", "a", "b"):
+                w = getattr(op, attr, None)
+                if w is not None:
+                    last_use[w] = i
         pbs_count = 0
         slips = sites = 0
         slip_detail = []
         t0 = time.time()
         t_lvl = t_pbs = t_audit = 0.0
-        for op in self.circuit.ops:
+        for i, op in enumerate(self.circuit.ops):
             t_op = time.time()
             if isinstance(op, QuantIn):
                 env[op.out] = ct_in
@@ -365,6 +374,10 @@ class CompiledModule:
                 result = env[op.x]
             else:
                 raise TypeError(op)
+            for attr in ("x", "a", "b"):
+                w = getattr(op, attr, None)
+                if w is not None and last_use.get(w) == i:
+                    env.pop(w, None)     # last consumer done: free the wire
         dt = time.time() - t0
         self.stats.update({
             "pbs_per_sample": self.circuit.num_pbs,
