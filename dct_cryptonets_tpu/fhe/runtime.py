@@ -456,26 +456,31 @@ class CompiledModule:
 
         out_delta = 63 - spec.out_n
         cfg = self.exact_cfg
-        # pass 1: exact-rounding clears, in AUX-sized chunks.  The aux
-        # lattice's sweet spot (N=512: M=4096, fe block 1024) is twice the
-        # main lattice's (N=2048: M=2048, fe block 256) — measured on-chip,
-        # PERFORMANCE.md — so the two passes chunk independently.
+        # pass 1: exact-rounding clears, in AUX-sized chunks scanned inside
+        # ONE jitted call (pbs.clear_low_bits_chunked — one host dispatch
+        # per layer instead of one per chunk).  The aux lattice's batch
+        # sweet spot (N=512: M=4096) is twice the main lattice's (2048) —
+        # measured on-chip, PERFORMANCE.md — so the two passes chunk
+        # independently.  Remainders pad with trivial zero ciphertexts.
         if exact and spec.shift > keep:
             assert self.aux_keys is not None, "keygen() first"
-            cleared_hi, cleared_lo = [], []
-            for s in range(0, M, self.aux_batch):
-                e = min(s + self.aux_batch, M)
-                ch = clear_low_bits(
-                    T.T64(flat.hi[s:e], flat.lo[s:e]),
+            from .pbs import clear_low_bits_chunked
+            kw = dict(drop_limbs=self.aux_drop_limbs, cross=self.aux_cross,
+                      fwd_ks_drop=self.aux_fwd_ks_drop,
+                      back_ks_drop=self.aux_back_ks_drop, keep_low=keep)
+            if M <= self.aux_batch:
+                flat = clear_low_bits(flat, self.aux_keys, cfg.aux, n_in,
+                                      spec.shift, cfg.back_base_log,
+                                      cfg.back_levels, **kw)
+            else:
+                pad = (-M) % self.aux_batch
+                zp = ((0, pad), (0, 0))
+                ch = clear_low_bits_chunked(
+                    T.T64(jnp.pad(flat.hi, zp), jnp.pad(flat.lo, zp)),
                     self.aux_keys, cfg.aux, n_in, spec.shift,
-                    cfg.back_base_log, cfg.back_levels,
-                    drop_limbs=self.aux_drop_limbs, cross=self.aux_cross,
-                    fwd_ks_drop=self.aux_fwd_ks_drop,
-                    back_ks_drop=self.aux_back_ks_drop, keep_low=keep)
-                cleared_hi.append(ch.hi)
-                cleared_lo.append(ch.lo)
-            flat = T.T64(jnp.concatenate(cleared_hi, 0),
-                         jnp.concatenate(cleared_lo, 0))
+                    cfg.back_base_log, cfg.back_levels, self.aux_batch,
+                    **kw)
+                flat = T.T64(ch.hi[:M], ch.lo[:M])
             self.stats["aux_pbs_executed"] = (
                 self.stats.get("aux_pbs_executed", 0)
                 + (spec.shift - keep) * M)
@@ -490,16 +495,20 @@ class CompiledModule:
             cb = T.sub(T.T64(flat.hi[:, -1:], flat.lo[:, -1:]), cc)
             flat = T.T64(jnp.concatenate([flat.hi[:, :-1], cb.hi], axis=1),
                          jnp.concatenate([flat.lo[:, :-1], cb.lo], axis=1))
-        # pass 2: the main bootstraps, in pbs_batch chunks
-        outs_hi, outs_lo = [], []
-        for s in range(0, M, self.pbs_batch):
-            e = min(s + self.pbs_batch, M)
-            chunk = T.T64(flat.hi[s:e], flat.lo[s:e])
-            res = bootstrap(chunk, site_tables[s:e], self.device_keys,
+        # pass 2: the main bootstraps, pbs_batch chunks scanned inside one
+        # jitted call (pbs.bootstrap_chunked); zero-ciphertext padding
+        if M <= self.pbs_batch:
+            out = bootstrap(flat, site_tables, self.device_keys,
                             self.params, out_delta, drop_limbs, cross)
-            outs_hi.append(res.hi)
-            outs_lo.append(res.lo)
-        out = T.T64(jnp.concatenate(outs_hi, 0), jnp.concatenate(outs_lo, 0))
+        else:
+            from .pbs import bootstrap_chunked
+            pad = (-M) % self.pbs_batch
+            zp = ((0, pad), (0, 0))
+            res = bootstrap_chunked(
+                T.T64(jnp.pad(flat.hi, zp), jnp.pad(flat.lo, zp)),
+                jnp.pad(site_tables, zp), self.device_keys, self.params,
+                out_delta, self.pbs_batch, drop_limbs, cross)
+            out = T.T64(res.hi[:M], res.lo[:M])
         n_big = self.params.big_lwe_dim + 1
         hi = jnp.moveaxis(out.hi.reshape(B, H, W, C, n_big), -1, 1)
         lo = jnp.moveaxis(out.lo.reshape(B, H, W, C, n_big), -1, 1)

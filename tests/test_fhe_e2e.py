@@ -202,6 +202,24 @@ def test_fs8_ingest_execute_matches_simulate():
     np.testing.assert_array_equal(feats_exe, feats_sim)
 
 
+def test_chunked_scan_path_matches_simulate(tiny_model):
+    """A tiny pbs_batch/aux_batch forces the single-dispatch scan path
+    (pbs.bootstrap_chunked / clear_low_bits_chunked) with a non-multiple
+    site count, exercising the zero-ciphertext padding: execute must
+    still equal the simulator bit-exactly."""
+    params, state = tiny_model
+    module = compile_qat_model(
+        params, state, TINY, n_bits=3, rounding_threshold_bits=3,
+        calib_absmax=2.0, tfhe_params=TEST_PARAMS, pbs_batch=16)
+    module.aux_batch = 16
+    module.keygen(seed=11)
+    # 68 spatial sites per TLU layer -> 5 chunks of 16 with 12 padded
+    x = np.clip(np.random.default_rng(13).normal(0, 0.7, (1, 4, 4, 3)), -2, 2)
+    feats_sim = module.forward(x.astype(np.float32), fhe="simulate")
+    feats_exe = module.forward(x.astype(np.float32), fhe="execute")
+    np.testing.assert_array_equal(feats_exe, feats_sim)
+
+
 def test_balanced_bytes_roundtrip():
     rng = np.random.default_rng(11)
     x = rng.integers(0, 1 << 63, (257,), dtype=np.int64).astype(np.uint64)
